@@ -1,0 +1,144 @@
+"""Functional layer library: dense / norm / embed / MLP + init helpers.
+
+Everything here is dtype-policy aware: parameters live in fp32 (optimizer
+master copy), compute happens in the policy's `compute_dtype` (bf16 on TPU so
+matmuls hit the MXU at full rate), and norm statistics are taken in fp32.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+Params = dict  # nested dict pytree of jnp arrays
+
+
+@dataclasses.dataclass(frozen=True)
+class DtypePolicy:
+    param_dtype: Any = jnp.float32
+    compute_dtype: Any = jnp.bfloat16
+
+    def cast(self, x):
+        return x.astype(self.compute_dtype)
+
+
+DEFAULT_POLICY = DtypePolicy()
+SERVING_POLICY = DtypePolicy(param_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16)
+
+
+# ---------------------------------------------------------------------------
+# initializers
+# ---------------------------------------------------------------------------
+
+def lecun_normal(key, shape, in_axis_size=None, dtype=jnp.float32):
+    fan_in = in_axis_size if in_axis_size is not None else shape[0]
+    return jax.random.normal(key, shape, dtype) * math.sqrt(1.0 / fan_in)
+
+
+def dense_init(key, in_dim: int, out_dim: int, use_bias: bool = True, dtype=jnp.float32) -> Params:
+    p = {"kernel": lecun_normal(key, (in_dim, out_dim), in_dim, dtype)}
+    if use_bias:
+        p["bias"] = jnp.zeros((out_dim,), dtype)
+    return p
+
+
+def embed_init(key, vocab: int, dim: int, dtype=jnp.float32) -> Params:
+    return {"embedding": jax.random.normal(key, (vocab, dim), dtype) * 0.02}
+
+
+def rmsnorm_init(dim: int, dtype=jnp.float32) -> Params:
+    # Gemma convention: weight stored as (scale), applied as x * (1 + scale)
+    return {"scale": jnp.zeros((dim,), dtype)}
+
+
+def layernorm_init(dim: int, dtype=jnp.float32) -> Params:
+    return {"scale": jnp.ones((dim,), dtype), "bias": jnp.zeros((dim,), dtype)}
+
+
+# ---------------------------------------------------------------------------
+# apply functions
+# ---------------------------------------------------------------------------
+
+def dense(p: Params, x: jnp.ndarray, policy: DtypePolicy = DEFAULT_POLICY) -> jnp.ndarray:
+    kernel = p["kernel"].astype(policy.compute_dtype)
+    y = jnp.dot(x.astype(policy.compute_dtype), kernel)
+    if "bias" in p:
+        y = y + p["bias"].astype(policy.compute_dtype)
+    return y
+
+
+def embed_lookup(p: Params, ids: jnp.ndarray, policy: DtypePolicy = DEFAULT_POLICY) -> jnp.ndarray:
+    return jnp.take(p["embedding"], ids, axis=0).astype(policy.compute_dtype)
+
+
+def rms_norm(p: Params, x: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
+    """Gemma RMSNorm: fp32 statistics, (1 + scale) gain, cast back."""
+    dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
+    y = x32 * jax.lax.rsqrt(var + eps)
+    y = y * (1.0 + p["scale"].astype(jnp.float32))
+    return y.astype(dtype)
+
+
+def layer_norm(p: Params, x: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
+    dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return y.astype(dtype)
+
+
+def gelu_mlp(p: Params, x: jnp.ndarray, policy: DtypePolicy = DEFAULT_POLICY) -> jnp.ndarray:
+    """ViT MLP: dense -> gelu(tanh) -> dense."""
+    h = dense(p["fc1"], x, policy)
+    h = jax.nn.gelu(h, approximate=True)
+    return dense(p["fc2"], h, policy)
+
+
+def gemma_mlp(p: Params, x: jnp.ndarray, policy: DtypePolicy = DEFAULT_POLICY) -> jnp.ndarray:
+    """Gemma gated MLP: gelu(gate(x)) * up(x) -> down."""
+    gate = jax.nn.gelu(dense(p["gate"], x, policy), approximate=True)
+    up = dense(p["up"], x, policy)
+    return dense(p["down"], gate * up, policy)
+
+
+def sinusoidal_embedding(
+    time: jnp.ndarray, dim: int, min_period: float, max_period: float
+) -> jnp.ndarray:
+    """Scalar positions [B] -> [B, dim] sine-cosine features.
+
+    Matches the Pi0 time embedding (reference modeling_mvla.py:71-90):
+    geometric period spacing from min_period to max_period, computed in fp32.
+    """
+    if dim % 2 != 0:
+        raise ValueError(f"dimension ({dim}) must be divisible by 2")
+    fraction = jnp.linspace(0.0, 1.0, dim // 2, dtype=jnp.float32)
+    period = min_period * (max_period / min_period) ** fraction
+    angle = (2 * jnp.pi / period)[None, :] * time.astype(jnp.float32)[:, None]
+    return jnp.concatenate([jnp.sin(angle), jnp.cos(angle)], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# stacked-layer helpers
+# ---------------------------------------------------------------------------
+
+def stack_layer_init(key, num_layers: int, init_one: Callable[[Any], Params]) -> Params:
+    """Initialize `num_layers` identical blocks with stacked leaves
+    (leading layer axis) — the layout `jax.lax.scan` consumes."""
+    keys = jax.random.split(key, num_layers)
+    return jax.vmap(init_one)(keys)
+
+
+def tree_size(params: Params) -> int:
+    return sum(int(p.size) for p in jax.tree.leaves(params))
+
+
+def tree_bytes(params: Params) -> int:
+    return sum(int(p.size * p.dtype.itemsize) for p in jax.tree.leaves(params))

@@ -1,0 +1,225 @@
+"""Gemma decoder blocks with multi-stream ("mixture of experts") attention —
+the Pi0 trunk: a PaliGemma VLM stream and a smaller action-expert stream that
+share one attention operation per layer.
+
+Why this shape: in Pi0 the suffix tokens (robot state + noisy action chunk)
+are processed by a separate ~300M Gemma whose queries attend over the
+concatenation of VLM prefix K/V and expert suffix K/V. The reference reaches
+this layout through HF module surgery (`src/model/mmmvla/expert.py:202-282`,
+joint prefix+suffix attention); here both streams are stacked-parameter scans
+advanced in lockstep, which XLA compiles to one fused layer body.
+
+Three entry points:
+  forward_joint   training: prefix+suffix in one pass (no cache)
+  prefill         inference step 1: prefix through the VLM, emit K/V cache
+  decode          inference denoise steps: suffix through the expert against
+                  the cached prefix K/V (runs inside lax.scan over Euler steps)
+
+Grouped-query attention: 8 query heads / 1 KV head / head_dim 256 for both
+streams (widths differ: 2048 VLM vs 1024 expert).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from intact_tpu.models import common as cm
+from intact_tpu.models.common import DEFAULT_POLICY, DtypePolicy
+from intact_tpu.ops.attention import multi_head_attention
+from intact_tpu.ops.rope import apply_rope
+
+
+@dataclasses.dataclass(frozen=True)
+class GemmaConfig:
+    width: int
+    depth: int
+    mlp_dim: int
+    num_heads: int
+    num_kv_heads: int
+    head_dim: int
+    vocab_size: int = 257_152  # PaliGemma vocab
+    rope_base: float = 10_000.0
+    norm_eps: float = 1e-6
+
+
+def gemma_2b() -> GemmaConfig:
+    """PaliGemma-3B's language trunk."""
+    return GemmaConfig(width=2048, depth=18, mlp_dim=16_384, num_heads=8, num_kv_heads=1, head_dim=256)
+
+
+def gemma_300m_expert() -> GemmaConfig:
+    """Pi0 action expert: same depth/heads as the VLM trunk, narrower width."""
+    return GemmaConfig(width=1024, depth=18, mlp_dim=4096, num_heads=8, num_kv_heads=1, head_dim=256)
+
+
+def tiny_test_config(width: int = 32, depth: int = 2) -> GemmaConfig:
+    return GemmaConfig(
+        width=width, depth=depth, mlp_dim=64, num_heads=2, num_kv_heads=1,
+        head_dim=16, vocab_size=256,
+    )
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+def _block_init(key, cfg: GemmaConfig) -> cm.Params:
+    ks = jax.random.split(key, 7)
+    d, m = cfg.width, cfg.mlp_dim
+    qdim = cfg.num_heads * cfg.head_dim
+    kvdim = cfg.num_kv_heads * cfg.head_dim
+    return {
+        "ln1": cm.rmsnorm_init(d),
+        "attn": {
+            "q": cm.dense_init(ks[0], d, qdim, use_bias=False),
+            "k": cm.dense_init(ks[1], d, kvdim, use_bias=False),
+            "v": cm.dense_init(ks[2], d, kvdim, use_bias=False),
+            "o": cm.dense_init(ks[3], qdim, d, use_bias=False),
+        },
+        "ln2": cm.rmsnorm_init(d),
+        "mlp": {
+            "gate": cm.dense_init(ks[4], d, m, use_bias=False),
+            "up": cm.dense_init(ks[5], d, m, use_bias=False),
+            "down": cm.dense_init(ks[6], m, d, use_bias=False),
+        },
+    }
+
+
+def init_blocks(key, cfg: GemmaConfig) -> cm.Params:
+    k_blocks, _ = jax.random.split(key)
+    return {
+        "blocks": cm.stack_layer_init(k_blocks, cfg.depth, lambda k: _block_init(k, cfg)),
+        "final_norm": cm.rmsnorm_init(cfg.width),
+    }
+
+
+def init_embed(key, cfg: GemmaConfig) -> cm.Params:
+    return cm.embed_init(key, cfg.vocab_size, cfg.width)
+
+
+# ---------------------------------------------------------------------------
+# layer pieces
+# ---------------------------------------------------------------------------
+
+def _qkv(bp, x, positions, cfg: GemmaConfig, policy: DtypePolicy):
+    b, t, _ = x.shape
+    q = cm.dense(bp["attn"]["q"], x, policy).reshape(b, t, cfg.num_heads, cfg.head_dim)
+    k = cm.dense(bp["attn"]["k"], x, policy).reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
+    v = cm.dense(bp["attn"]["v"], x, policy).reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
+    q = apply_rope(q, positions, cfg.rope_base)
+    k = apply_rope(k, positions, cfg.rope_base)
+    return q, k, v
+
+
+def _post_attention(bp, x, att_out, cfg: GemmaConfig, policy: DtypePolicy):
+    b, t = att_out.shape[:2]
+    x = x + cm.dense(bp["attn"]["o"], att_out.reshape(b, t, -1), policy)
+    y = cm.rms_norm(bp["ln2"], x, cfg.norm_eps)
+    return x + cm.gemma_mlp(bp["mlp"], y, policy)
+
+
+# ---------------------------------------------------------------------------
+# forward modes
+# ---------------------------------------------------------------------------
+
+def forward_joint(
+    vlm_params: cm.Params,
+    expert_params: cm.Params,
+    x_pre: jnp.ndarray,  # [B, P, D_vlm] embedded prefix
+    x_suf: jnp.ndarray,  # [B, S, D_exp] embedded suffix
+    mask: jnp.ndarray,  # bool[B, P+S, P+S] over the concatenated sequence
+    positions: jnp.ndarray,  # int[B, P+S]
+    vlm_cfg: GemmaConfig,
+    expert_cfg: GemmaConfig,
+    policy: DtypePolicy = DEFAULT_POLICY,
+    attention_impl: str = "xla",
+):
+    """Training pass. Returns (prefix_out, suffix_out), both final-normed."""
+    p_len = x_pre.shape[1]
+    pos_pre, pos_suf = positions[:, :p_len], positions[:, p_len:]
+    scale = vlm_cfg.head_dim**-0.5
+
+    def body(carry, bps):
+        xp, xs = carry
+        bp_v, bp_e = bps
+        yp = cm.rms_norm(bp_v["ln1"], xp, vlm_cfg.norm_eps)
+        ys = cm.rms_norm(bp_e["ln1"], xs, expert_cfg.norm_eps)
+        qp, kp, vp = _qkv(bp_v, yp, pos_pre, vlm_cfg, policy)
+        qs, ks, vs = _qkv(bp_e, ys, pos_suf, expert_cfg, policy)
+        q = jnp.concatenate([qp, qs], axis=1)
+        k = jnp.concatenate([kp, ks], axis=1)
+        v = jnp.concatenate([vp, vs], axis=1)
+        att = multi_head_attention(q, k, v, mask=mask, impl=attention_impl, scale=scale)
+        xp = _post_attention(bp_v, xp, att[:, :p_len], vlm_cfg, policy)
+        xs = _post_attention(bp_e, xs, att[:, p_len:], expert_cfg, policy)
+        return (xp, xs), None
+
+    (x_pre, x_suf), _ = jax.lax.scan(
+        body, (x_pre, x_suf), (vlm_params["blocks"], expert_params["blocks"])
+    )
+    x_pre = cm.rms_norm(vlm_params["final_norm"], x_pre, vlm_cfg.norm_eps)
+    x_suf = cm.rms_norm(expert_params["final_norm"], x_suf, expert_cfg.norm_eps)
+    return x_pre, x_suf
+
+
+def prefill(
+    vlm_params: cm.Params,
+    x_pre: jnp.ndarray,  # [B, P, D_vlm]
+    mask: jnp.ndarray,  # bool[B, P, P]
+    positions: jnp.ndarray,  # int[B, P]
+    cfg: GemmaConfig,
+    policy: DtypePolicy = DEFAULT_POLICY,
+    attention_impl: str = "xla",
+):
+    """Prefix-only pass; returns (prefix_out, kv_cache).
+
+    kv_cache = (k, v) each [L, B, P, KVH, head_dim] — K is cached WITH RoPE
+    applied, so decode never re-rotates prefix keys.
+    """
+    scale = cfg.head_dim**-0.5
+
+    def body(x, bp):
+        y = cm.rms_norm(bp["ln1"], x, cfg.norm_eps)
+        q, k, v = _qkv(bp, y, positions, cfg, policy)
+        att = multi_head_attention(q, k, v, mask=mask, impl=attention_impl, scale=scale)
+        x = _post_attention(bp, x, att, cfg, policy)
+        return x, (k, v)
+
+    x_pre, kv_cache = jax.lax.scan(body, x_pre, vlm_params["blocks"])
+    x_pre = cm.rms_norm(vlm_params["final_norm"], x_pre, cfg.norm_eps)
+    return x_pre, kv_cache
+
+
+def decode(
+    expert_params: cm.Params,
+    kv_cache,  # (k, v) from prefill: [L, B, P, KVH, head_dim]
+    x_suf: jnp.ndarray,  # [B, S, D_exp]
+    mask: jnp.ndarray,  # bool[B, S, P+S]
+    positions: jnp.ndarray,  # int[B, S] (continuing after the prefix)
+    cfg: GemmaConfig,
+    policy: DtypePolicy = DEFAULT_POLICY,
+    attention_impl: str = "xla",
+) -> jnp.ndarray:
+    """Suffix pass against a frozen prefix cache. Returns final-normed suffix.
+
+    Note the attention scale uses the EXPERT head_dim (same value as the VLM's
+    by construction: both use head_dim 256).
+    """
+    cache_k, cache_v = kv_cache
+    scale = cfg.head_dim**-0.5
+
+    def body(x, inputs):
+        bp, ck, cv = inputs
+        y = cm.rms_norm(bp["ln1"], x, cfg.norm_eps)
+        q, k, v = _qkv(bp, y, positions, cfg, policy)
+        k = jnp.concatenate([ck.astype(k.dtype), k], axis=1)
+        v = jnp.concatenate([cv.astype(v.dtype), v], axis=1)
+        att = multi_head_attention(q, k, v, mask=mask, scale=scale)
+        x = _post_attention(bp, x, att, cfg, policy)
+        return x, None
+
+    x_suf, _ = jax.lax.scan(body, x_suf, (expert_params["blocks"], cache_k, cache_v))
+    return cm.rms_norm(expert_params["final_norm"], x_suf, cfg.norm_eps)

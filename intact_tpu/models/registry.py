@@ -1,0 +1,43 @@
+"""Model registry: type string -> (config factory, module).
+
+Mirrors the reference CLI factory maps (`src/agent/run.py:24-56`
+model_map/trainer_map/policy_wrapper_map) as a single registry keyed by the
+model `type` field in config JSONs.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+_REGISTRY: dict[str, dict] = {}
+
+
+def register(name: str, **entries) -> None:
+    _REGISTRY[name] = entries
+
+
+def get(name: str) -> dict:
+    if name not in _REGISTRY:
+        raise KeyError(
+            f"Unknown model type {name!r}; registered: {sorted(_REGISTRY)}"
+        )
+    return _REGISTRY[name]
+
+
+def available() -> list[str]:
+    return sorted(_REGISTRY)
+
+
+def _register_builtin() -> None:
+    from intact_tpu.models.pi0.config import Pi0Config
+
+    register(
+        "pi0",
+        config_cls=Pi0Config,
+        default_config=Pi0Config.bridge,
+        module="intact_tpu.models.pi0.model",
+        policy="intact_tpu.models.pi0.policy.Pi0Policy",
+    )
+
+
+_register_builtin()

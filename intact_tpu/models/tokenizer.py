@@ -1,0 +1,79 @@
+"""Language tokenization for VLA prompts.
+
+The reference tokenizes with the HF PaliGemma tokenizer
+(`modeling_mvla.py:388-407`: pad to tokenizer_max_length, append "\\n").
+This module provides the same interface with three backends:
+
+  * HFTokenizer — wraps a local HF fast tokenizer (tokenizer.json on disk or
+    a cached hub snapshot). Required for checkpoint parity with released
+    Pi0 weights.
+  * HashTokenizer — dependency-free deterministic fallback (stable word ->
+    id hashing) so training/serving/benchmarks run hermetically where no
+    tokenizer asset exists. NOT vocabulary-compatible with PaliGemma.
+
+Both return (tokens int32 [B, L], masks bool [B, L]).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+
+class HashTokenizer:
+    """Deterministic whitespace+hash tokenizer (test/bench backend)."""
+
+    def __init__(self, vocab_size: int = 257_152, max_length: int = 72):
+        self.vocab_size = vocab_size
+        self.max_length = max_length
+        self.bos_id = 2
+        self.pad_id = 0
+
+    def _word_id(self, word: str) -> int:
+        h = int.from_bytes(hashlib.md5(word.encode()).digest()[:4], "little")
+        return 3 + h % (self.vocab_size - 3)
+
+    def __call__(self, texts: list[str], max_length: int | None = None):
+        L = max_length or self.max_length
+        tokens = np.zeros((len(texts), L), np.int32)
+        masks = np.zeros((len(texts), L), bool)
+        for i, text in enumerate(texts):
+            # match the reference prompt shape: bos + words + newline suffix
+            ids = [self.bos_id] + [self._word_id(w) for w in f"{text}\n".split()]
+            ids = ids[:L]
+            tokens[i, : len(ids)] = ids
+            masks[i, : len(ids)] = True
+        return tokens, masks
+
+
+class HFTokenizer:
+    """PaliGemma tokenizer via transformers (needs a local asset)."""
+
+    def __init__(self, path_or_repo: str, max_length: int = 72):
+        from transformers import AutoTokenizer
+
+        self.tok = AutoTokenizer.from_pretrained(path_or_repo)
+        self.max_length = max_length
+
+    def __call__(self, texts: list[str], max_length: int | None = None):
+        L = max_length or self.max_length
+        # reference appends "\n" to the instruction before tokenizing
+        out = self.tok(
+            [f"{t}\n" for t in texts],
+            padding="max_length",
+            truncation=True,
+            max_length=L,
+            return_tensors="np",
+        )
+        return out["input_ids"].astype(np.int32), out["attention_mask"].astype(bool)
+
+
+def make_tokenizer(path_or_repo: str | None, max_length: int = 72):
+    """HF tokenizer when an asset is given/available, hash fallback otherwise."""
+    if path_or_repo:
+        try:
+            return HFTokenizer(path_or_repo, max_length)
+        except Exception:
+            pass
+    return HashTokenizer(max_length=max_length)
