@@ -1,0 +1,115 @@
+"""Headline benchmark: Pi0 policy-serving throughput on one TPU chip.
+
+Measures end-to-end `sample_actions` (prefill + 10-step Euler denoise) for a
+batch of parallel rollouts at the bridge operating point (PaliGemma-3B +
+300M expert, bf16, 224px, chunk 4) and reports aggregate policy steps/sec:
+one policy step = one env action executed; each inference yields
+`n_action_steps` (4) env actions per rollout.
+
+Baseline (BASELINE.md): >=1000 policy steps/sec aggregate on a v5e-8 driving
+256 rollouts => 125 steps/sec per chip. vs_baseline = value / 125.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Usage:
+  python bench.py                  # real chip, full model
+  python bench.py --tiny --cpu     # smoke test (CI / no TPU)
+  python bench.py --batch 64 --iters 5
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+PER_CHIP_BASELINE_STEPS_PER_SEC = 1000.0 / 8.0  # BASELINE.md v5e-8 target
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=64, help="parallel rollouts")
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--warmup", type=int, default=2)
+    ap.add_argument("--tiny", action="store_true", help="tiny model (smoke)")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+
+    from intact_tpu.models.common import SERVING_POLICY, DtypePolicy
+    from intact_tpu.models.pi0 import Pi0Config, model as pi0
+
+    cfg = Pi0Config.tiny() if args.tiny else Pi0Config.bridge()
+    policy = (
+        DtypePolicy(param_dtype=jnp.float32, compute_dtype=jnp.float32)
+        if args.cpu
+        else SERVING_POLICY
+    )
+
+    dev = jax.devices()[0]
+    print(f"# device={dev} batch={args.batch} model={'tiny' if args.tiny else 'bridge-3B'}",
+          file=sys.stderr)
+
+    t0 = time.time()
+    params = jax.jit(
+        lambda k: jax.tree.map(lambda x: x.astype(policy.param_dtype), pi0.init(k, cfg))
+    )(jax.random.key(0))
+    jax.block_until_ready(params)
+    print(f"# init {time.time()-t0:.1f}s", file=sys.stderr)
+
+    b, s = args.batch, cfg.vision.image_size
+    ks = jax.random.split(jax.random.key(1), 3)
+    images = jax.random.uniform(ks[0], (b, cfg.num_cameras, s, s, 3), minval=-1, maxval=1)
+    img_masks = jnp.ones((b, cfg.num_cameras), bool)
+    lang_tokens = jax.random.randint(ks[1], (b, cfg.tokenizer_max_length), 0, 255)
+    lang_masks = jnp.ones((b, cfg.tokenizer_max_length), bool)
+    state = jax.random.normal(ks[2], (b, cfg.max_state_dim))
+
+    # params passed explicitly: closing over concrete params would bake GBs
+    # of constants into the lowered HLO
+    @jax.jit
+    def infer(params, key, images, state):
+        return pi0.sample_actions(
+            params, key, images, img_masks, lang_tokens, lang_masks, state, cfg, policy
+        )
+
+    t0 = time.time()
+    jax.block_until_ready(infer(params, jax.random.key(2), images, state))
+    print(f"# compile+first {time.time()-t0:.1f}s", file=sys.stderr)
+
+    for i in range(args.warmup):
+        jax.block_until_ready(infer(params, jax.random.key(3 + i), images, state))
+
+    times = []
+    for i in range(args.iters):
+        t0 = time.time()
+        jax.block_until_ready(infer(params, jax.random.key(100 + i), images, state))
+        times.append(time.time() - t0)
+
+    t_med = sorted(times)[len(times) // 2]
+    steps_per_sec = args.batch * cfg.n_action_steps / t_med
+    print(
+        f"# median inference {t_med*1e3:.1f} ms -> {steps_per_sec:.1f} policy steps/s "
+        f"(p50 per-action latency {t_med/cfg.n_action_steps*1e3:.1f} ms)",
+        file=sys.stderr,
+    )
+
+    print(json.dumps({
+        "metric": "pi0_policy_steps_per_sec_per_chip",
+        "value": round(steps_per_sec, 2),
+        "unit": "policy_steps/s",
+        "vs_baseline": round(steps_per_sec / PER_CHIP_BASELINE_STEPS_PER_SEC, 3),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -72,7 +72,9 @@ def dense(p: Params, x: jnp.ndarray, policy: DtypePolicy = DEFAULT_POLICY) -> jn
 
 
 def embed_lookup(p: Params, ids: jnp.ndarray, policy: DtypePolicy = DEFAULT_POLICY) -> jnp.ndarray:
-    return jnp.take(p["embedding"], ids, axis=0).astype(policy.compute_dtype)
+    # mode="clip": jnp.take's default out-of-bounds fill is NaN, which turns a
+    # tokenizer/vocab mismatch into silent NaN loss — clip instead
+    return jnp.take(p["embedding"], ids, axis=0, mode="clip").astype(policy.compute_dtype)
 
 
 def rms_norm(p: Params, x: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:

@@ -38,6 +38,14 @@ def _register_builtin() -> None:
         module="intact_tpu.models.pi0.model",
         policy="intact_tpu.models.pi0.policy.Pi0Policy",
     )
+    # smoke-test operating point (tiny widths, CPU-friendly)
+    register(
+        "pi0_tiny",
+        config_cls=Pi0Config,
+        default_config=Pi0Config.tiny,
+        module="intact_tpu.models.pi0.model",
+        policy="intact_tpu.models.pi0.policy.Pi0Policy",
+    )
 
 
 _register_builtin()

@@ -113,16 +113,23 @@ def encode(
     policy: DtypePolicy = DEFAULT_POLICY,
 ) -> jnp.ndarray:
     """-> [B, num_patches, width] patch embeddings (compute dtype)."""
-    x = jax.lax.conv_general_dilated(
-        policy.cast(images),
-        policy.cast(params["patch_embed"]["kernel"]),
-        window_strides=(cfg.patch_size, cfg.patch_size),
-        padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )
-    b = x.shape[0]
-    x = x.reshape(b, cfg.num_patches, cfg.width)
-    x = x + policy.cast(params["patch_embed"]["bias"])
+    # Patchify as reshape + one big matmul (equivalent to a stride-P VALID
+    # conv, but it is a single [B*N, P*P*3] x [P*P*3, D] MXU contraction and
+    # stays transparent to sharded kernels).
+    b, g, p = images.shape[0], cfg.grid, cfg.patch_size
+    w = images.shape[2]
+    # split one axis per reshape: sharded-batch arrays only support
+    # single-axis splits under jax's sharding-in-types rules
+    x = policy.cast(images)
+    x = x.reshape(b, g, p, w, 3)
+    x = x.reshape(b, g, p, g, p, 3)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    # ... and one axis-pair merge per reshape on the way back down
+    x = x.reshape(b, cfg.num_patches, p, p, 3)
+    x = x.reshape(b, cfg.num_patches, p, p * 3)
+    x = x.reshape(b, cfg.num_patches, p * p * 3)
+    kernel = policy.cast(params["patch_embed"]["kernel"]).reshape(p * p * 3, cfg.width)
+    x = jnp.dot(x, kernel) + policy.cast(params["patch_embed"]["bias"])
     x = x + policy.cast(params["pos_embed"])
 
     def body(carry, bp):

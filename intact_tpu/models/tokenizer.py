@@ -69,11 +69,13 @@ class HFTokenizer:
         return out["input_ids"].astype(np.int32), out["attention_mask"].astype(bool)
 
 
-def make_tokenizer(path_or_repo: str | None, max_length: int = 72):
-    """HF tokenizer when an asset is given/available, hash fallback otherwise."""
+def make_tokenizer(path_or_repo: str | None, max_length: int = 72,
+                   vocab_size: int = 257_152):
+    """HF tokenizer when an asset is given/available, hash fallback otherwise.
+    vocab_size bounds the hash fallback's ids to the model's embedding table."""
     if path_or_repo:
         try:
             return HFTokenizer(path_or_repo, max_length)
         except Exception:
             pass
-    return HashTokenizer(max_length=max_length)
+    return HashTokenizer(vocab_size=vocab_size, max_length=max_length)

@@ -1,0 +1,110 @@
+"""Parameter / activation sharding rules.
+
+Rules are (regex over the "/"-joined param path) -> PartitionSpec, applied
+first-match-wins. Specs are sanitized against actual shapes: any axis whose
+mesh size does not divide the dimension is dropped (so the same rules work
+for tiny test configs and full 3B models).
+
+Layout strategy (megatron-style TP + ZeRO-3 fsdp):
+  * matmul "in" kernels  [.., D_model, D_hidden] -> (fsdp, tensor)
+  * matmul "out" kernels [.., D_hidden, D_model] -> (tensor, fsdp)
+  * embeddings [vocab, D] -> (tensor, fsdp)
+  * stacked blocks carry a leading layer axis (never sharded)
+  * norms / biases / small projections -> replicated
+Activations: batch axis over (data, fsdp), model dims unsharded (XLA
+re-shards intermediates as needed around the TP collectives).
+"""
+
+from __future__ import annotations
+
+import re
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# first-match-wins; paths are "/"-joined key paths like
+# "vlm/blocks/attn/q/kernel"
+DEFAULT_RULES: list[tuple[str, P]] = [
+    # embeddings
+    (r".*embed/embedding$", P("tensor", "fsdp")),
+    # attention projections (stacked: leading layer axis)
+    (r".*blocks/attn/[qkv]/kernel$", P(None, "fsdp", "tensor")),
+    (r".*blocks/attn/o/kernel$", P(None, "tensor", "fsdp")),
+    (r".*blocks/attn/[qkvo]/bias$", P()),
+    # gated / vit MLPs
+    (r".*blocks/mlp/(gate|up|fc1)/kernel$", P(None, "fsdp", "tensor")),
+    (r".*blocks/mlp/(down|fc2)/kernel$", P(None, "tensor", "fsdp")),
+    (r".*blocks/mlp/fc1/bias$", P(None, "tensor")),
+    # multimodal projector + pi0 heads (unstacked 2D)
+    (r".*(img_proj|time_mlp_in|time_mlp_out)/kernel$", P("fsdp", "tensor")),
+    (r".*(state_proj|action_in_proj)/kernel$", P(None, "tensor")),
+    (r".*action_out_proj/kernel$", P("tensor", None)),
+    # conv patch embed: shard output channels
+    (r".*patch_embed/kernel$", P(None, None, None, "tensor")),
+    # everything else (norms, biases, pos_embed) replicated
+    (r".*", P()),
+]
+
+
+def keystr(entry) -> str:
+    """One pytree path entry -> plain string (DictKey/GetAttrKey/SequenceKey)."""
+    for attr in ("key", "name", "idx"):
+        if hasattr(entry, attr):
+            return str(getattr(entry, attr))
+    return str(entry)
+
+
+def _path_str(path) -> str:
+    return "/".join(keystr(p) for p in path)
+
+
+def _sanitize(spec: P, shape: tuple[int, ...], mesh: Mesh) -> P:
+    """Drop sharded axes that don't divide the dimension (or overflow rank)."""
+    if len(spec) > len(shape):
+        spec = P(*spec[: len(shape)])
+    out = []
+    for dim, axis in zip(shape, tuple(spec) + (None,) * (len(shape) - len(spec))):
+        if axis is None:
+            out.append(None)
+            continue
+        axes = axis if isinstance(axis, tuple) else (axis,)
+        size = 1
+        for a in axes:
+            size *= mesh.shape[a]
+        out.append(axis if dim % size == 0 else None)
+    return P(*out)
+
+
+def spec_for_path(path_str: str, shape, mesh: Mesh, rules=None) -> P:
+    for pattern, spec in rules or DEFAULT_RULES:
+        if re.match(pattern, path_str):
+            return _sanitize(spec, tuple(shape), mesh)
+    return P()
+
+
+def param_shardings(params, mesh: Mesh, rules=None):
+    """Param pytree -> matching tree of NamedSharding."""
+
+    def to_sharding(path, leaf):
+        spec = spec_for_path(_path_str(path), leaf.shape, mesh, rules)
+        return NamedSharding(mesh, spec)
+
+    return jax.tree_util.tree_map_with_path(to_sharding, params)
+
+
+def param_specs(params, mesh: Mesh, rules=None):
+    """Param pytree -> matching tree of PartitionSpec (for orbax metadata)."""
+
+    def to_spec(path, leaf):
+        return spec_for_path(_path_str(path), leaf.shape, mesh, rules)
+
+    return jax.tree_util.tree_map_with_path(to_spec, params)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading batch axis over the combined (data, fsdp) axes."""
+    return NamedSharding(mesh, P(("data", "fsdp")))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

@@ -1,0 +1,128 @@
+"""Checkpoint save/resume on Orbax, keeping the reference's directory
+contract: <ckpt_dir>/step_{n}/ per save, hot-swappable by the serving stack.
+
+Reference parity (`src/agent/trainer.py:596-721`): periodic saves carry
+model params AND auxiliary data (optimizer state, scheduler position = step
+counter, update/batch counters, wandb run id); resume restores all of it, or
+params only when `resume_run` is false. Unlike the reference's FSDP path
+(full-state-dict gather to rank-0 CPU), Orbax writes each host's param
+shards in parallel and restore re-shards to any mesh.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import jax
+import orbax.checkpoint as ocp
+
+from intact_tpu.train.train_step import TrainState
+
+
+def step_dir(ckpt_root: str | Path, step: int) -> Path:
+    return Path(ckpt_root) / f"step_{step}"
+
+
+def list_steps(ckpt_root: str | Path) -> list[int]:
+    root = Path(ckpt_root)
+    if not root.exists():
+        return []
+    return sorted(
+        int(p.name.split("_", 1)[1])
+        for p in root.iterdir()
+        if p.is_dir() and p.name.startswith("step_")
+    )
+
+
+def save_checkpoint(
+    ckpt_root: str | Path,
+    state: TrainState,
+    aux: dict | None = None,
+) -> Path:
+    """Write step_{n}/{params,opt_state} via Orbax + auxiliary_data.json."""
+    path = step_dir(ckpt_root, int(state.step)).resolve()
+    path.mkdir(parents=True, exist_ok=True)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path / "params", jax.tree.map(lambda x: x, state.params))
+        ckptr.save(path / "opt_state", state.opt_state)
+    auxiliary = {"cnt_update": int(state.step)}
+    auxiliary.update(aux or {})
+    (path / "auxiliary_data.json").write_text(json.dumps(auxiliary, indent=2))
+    return path
+
+
+def restore_params(ckpt_path: str | Path, template_params, shardings=None):
+    """Restore params only (serving / switch_model). ckpt_path may be the
+    step dir or its parent root (latest step used)."""
+    path = Path(ckpt_path)
+    if not (path / "params").exists():
+        steps = list_steps(path)
+        if not steps:
+            raise FileNotFoundError(f"no checkpoint under {path}")
+        path = step_dir(path, steps[-1])
+    target = template_params
+    if shardings is not None:
+        target = jax.tree.map(
+            lambda t, s: jax.ShapeDtypeStruct(t.shape, t.dtype, sharding=s),
+            template_params, shardings,
+        )
+    else:
+        target = jax.tree.map(
+            lambda t: jax.ShapeDtypeStruct(t.shape, t.dtype), template_params
+        )
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(path / "params", target)
+
+
+def restore_train_state(
+    ckpt_path: str | Path,
+    template_state: TrainState,
+    state_shardings=None,
+    resume_run: bool = True,
+) -> tuple[TrainState, dict]:
+    """Restore a full TrainState (+ aux dict). With resume_run=False only
+    params are loaded (fresh optimizer/counters), mirroring the reference's
+    load_from_checkpoint vs resume_run split."""
+    path = Path(ckpt_path)
+    if not (path / "params").exists():
+        steps = list_steps(path)
+        if not steps:
+            raise FileNotFoundError(f"no checkpoint under {path}")
+        path = step_dir(path, steps[-1])
+
+    p_shard = state_shardings.params if state_shardings is not None else None
+    params = restore_params(path, template_state.params, p_shard)
+    if not resume_run:
+        return (
+            TrainState(
+                params=params,
+                opt_state=template_state.opt_state,
+                step=template_state.step,
+                rng=template_state.rng,
+            ),
+            {},
+        )
+
+    def as_target(t, s):
+        return jax.ShapeDtypeStruct(t.shape, t.dtype, sharding=s)
+
+    if state_shardings is not None:
+        opt_target = jax.tree.map(as_target, template_state.opt_state, state_shardings.opt_state)
+    else:
+        opt_target = jax.tree.map(
+            lambda t: jax.ShapeDtypeStruct(t.shape, t.dtype), template_state.opt_state
+        )
+    with ocp.StandardCheckpointer() as ckptr:
+        opt_state = ckptr.restore(path / "opt_state", opt_target)
+
+    aux = json.loads((path / "auxiliary_data.json").read_text())
+    import jax.numpy as jnp
+
+    state = TrainState(
+        params=params,
+        opt_state=opt_state,
+        step=jnp.asarray(aux.get("cnt_update", 0), jnp.int32),
+        rng=template_state.rng,
+    )
+    return state, aux

@@ -1,0 +1,312 @@
+"""Trainer: config -> mesh -> sharded train loop with validation,
+checkpointing, and metric logging.
+
+Role parity with `BaseTrainer` (`src/agent/trainer.py:43-733`), redesigned
+for TPU:
+  * DDP/FSDP wrappers -> one pjit'd train step over a (data, fsdp, tensor)
+    mesh; freezing is an optax mask, not requires_grad surgery;
+  * autocast/AMP -> explicit dtype policy (bf16 compute, fp32 params+opt);
+  * bitsandbytes AdamW8bit -> optax AdamW (moments sharded with params);
+  * torch DataLoader -> host numpy iterator + device_put with the batch
+    sharding (async dispatch overlaps host prep with device compute);
+  * per-rank stdout silencing + all-reduce metric aggregation -> process 0
+    logging; metrics come off the device once per log_freq;
+  * save_pretrained/auxiliary_data.pt -> Orbax step_{n} checkpoints.
+
+The train log line keeps the reference's field order (update count, loss,
+lr, timing) so downstream log parsers keep working (SURVEY.md §5.5).
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from intact_tpu.config.pipeline import (
+    TrainPipelineConfig,
+    optimizer_config_from_model_json,
+)
+from intact_tpu.data.dataset import InterleavedDataset
+from intact_tpu.models import common as cm
+from intact_tpu.models.pi0 import model as pi0_model
+from intact_tpu.models.tokenizer import make_tokenizer
+from intact_tpu.parallel import MeshConfig, make_mesh, batch_sharding
+from intact_tpu.train import checkpoint as ckpt
+from intact_tpu.train.optim import make_optimizer
+from intact_tpu.train.train_step import (
+    init_train_state,
+    jit_train_step,
+    make_train_step,
+    state_shardings,
+)
+from intact_tpu.utils.metric import get_action_accuracy, l1_error
+from intact_tpu.utils.monitor import Timer, log_device_memory, setup_logger
+from intact_tpu.utils.pipeline import set_seed_everywhere
+
+
+def preprocess_batch(batch: dict, tokenizer, model_cfg, train: bool = True) -> dict:
+    """RLDS batch -> model inputs (reference preprocess_batch,
+    `trainer.py:385-425`): uint8 frames -> [-1,1] float, instruction bytes ->
+    tokens, proprio/action padded to the model's max dims."""
+    imgs = batch["observation"]["image_primary"]  # [B, T, H, W, C] uint8
+    b, t = imgs.shape[:2]
+    # single-frame window: the history axis doubles as the camera axis (K=T)
+    images = (imgs.astype(np.float32) / 255.0) * 2.0 - 1.0  # [B, K, H, W, C]
+    img_masks = batch["observation"].get(
+        "timestep_pad_mask", np.ones((b, t), bool)
+    ).astype(bool)
+
+    texts = [
+        s.decode() if isinstance(s, bytes) else str(s)
+        for s in batch["task"]["language_instruction"]
+    ]
+    lang_tokens, lang_masks = tokenizer(texts, model_cfg.tokenizer_max_length)
+
+    proprio = batch["observation"]["proprio"][:, -1]  # last history frame
+    state = np.zeros((b, model_cfg.max_state_dim), np.float32)
+    state[:, : proprio.shape[-1]] = proprio
+
+    out = {
+        "images": images,
+        "img_masks": img_masks,
+        "lang_tokens": lang_tokens,
+        "lang_masks": lang_masks,
+        "state": state,
+    }
+    if "action" in batch:
+        act = batch["action"][:, -1]  # [B, horizon, dim] (last history frame)
+        actions = np.zeros((b, model_cfg.chunk_size, model_cfg.max_action_dim), np.float32)
+        h = min(act.shape[1], model_cfg.chunk_size)
+        actions[:, :h, : act.shape[-1]] = act[:, :h]
+        out["actions"] = actions
+        pad = batch.get("action_pad_mask")
+        if pad is not None:
+            # [B, horizon, dim] -> a chunk frame is padding if NO dim is valid
+            valid = pad[:, -1][:, :h].any(axis=-1)
+            action_is_pad = np.ones((b, model_cfg.chunk_size), bool)
+            action_is_pad[:, :h] = ~valid
+            out["action_is_pad"] = action_is_pad
+    return out
+
+
+class Pi0Trainer:
+    def __init__(self, cfg: TrainPipelineConfig):
+        self.cfg = cfg
+        self.main_rank = jax.process_index() == 0
+        self.logger = setup_logger(self.main_rank, name="trainer")
+        set_seed_everywhere(cfg.seed)
+
+        self.model_cfg = cfg.make_model_config()
+        self.policy = cm.DtypePolicy(
+            param_dtype=jnp.float32,
+            compute_dtype=jnp.bfloat16 if cfg.use_bf16 else jnp.float32,
+        )
+
+        self.mesh = make_mesh(MeshConfig(cfg.mesh.data, cfg.mesh.fsdp, cfg.mesh.tensor))
+        self.logger.info("mesh: %s", dict(self.mesh.shape))
+
+        # ---- optimizer (freeze masks replace requires_grad surgery) ----
+        opt_cfg = optimizer_config_from_model_json(cfg.model_cfg, cfg)
+        n_batch_devices = self.mesh.shape["data"] * self.mesh.shape["fsdp"]
+        accum = max(1, cfg.global_batch_size // (cfg.per_device_batch_size * n_batch_devices))
+        import dataclasses as _dc
+
+        opt_cfg = _dc.replace(opt_cfg, grad_accumulation_steps=accum)
+        self.opt_cfg = opt_cfg
+        self.micro_batch_size = cfg.per_device_batch_size * n_batch_devices
+
+        params_template = jax.eval_shape(
+            lambda k: pi0_model.init(k, self.model_cfg), jax.random.key(cfg.seed)
+        )
+        frozen_mask = self._freeze_mask(params_template)
+        self.tx, self.lr_schedule = make_optimizer(opt_cfg, frozen_mask)
+
+        # ---- params: init sharded on the mesh (never materialized on one
+        # device — jit with out_shardings does a sharded init) ----
+        from intact_tpu.parallel.sharding import param_shardings
+
+        p_shardings = param_shardings(params_template, self.mesh)
+        init_fn = jax.jit(
+            lambda k: pi0_model.init(k, self.model_cfg), out_shardings=p_shardings
+        )
+        params = init_fn(jax.random.key(cfg.seed))
+
+        state = init_train_state(params, self.tx, seed=cfg.seed)
+        self.shardings = state_shardings(state, self.mesh)
+        self.state = jax.device_put(state, self.shardings)
+        del params, state
+
+        self.batch_shard = batch_sharding(self.mesh)
+
+        def loss_fn(p, key, batch):
+            return pi0_model.compute_loss(p, key, batch, self.model_cfg, self.policy)
+
+        self.train_step = jit_train_step(
+            make_train_step(loss_fn, self.tx, self.policy, remat=cfg.remat),
+            self.mesh, self.shardings, self.batch_shard,
+        )
+
+        def sample_fn(p, key, batch):
+            return pi0_model.sample_actions(
+                p, key, batch["images"], batch["img_masks"], batch["lang_tokens"],
+                batch["lang_masks"], batch["state"], self.model_cfg, self.policy,
+            )
+
+        self.sample_fn = jax.jit(sample_fn)
+
+        # ---- data ----
+        self.tokenizer = make_tokenizer(
+            None, self.model_cfg.tokenizer_max_length,
+            vocab_size=self.model_cfg.vlm.vocab_size,
+        )
+        stats = cfg.data.dataset_stats if cfg.data.dataset_stats else None
+        # pipeline-level stats use the observation.state/action dict form
+        norm_stats = None
+        if stats:
+            norm_stats = {
+                "action": stats.get("action"),
+                "proprio": stats.get("observation.state"),
+            }
+        self.train_data = InterleavedDataset(
+            cfg.data, self.micro_batch_size, split="train",
+            shard_index=jax.process_index(), num_shards=jax.process_count(),
+            stats=norm_stats, seed=cfg.seed,
+            image_size=self.model_cfg.vision.image_size,
+        )
+        self.val_data = InterleavedDataset(
+            cfg.data, self.micro_batch_size, split="val",
+            shard_index=jax.process_index(), num_shards=jax.process_count(),
+            stats=norm_stats, seed=cfg.seed + 1,
+            image_size=self.model_cfg.vision.image_size,
+        )
+
+        # ---- bookkeeping ----
+        self.ckpt_root = Path(cfg.log_dir) / (cfg.name or "run") / "checkpoint"
+        self.cnt_update = 0
+        if cfg.load_from_checkpoint:
+            self._load(cfg.load_from_checkpoint, cfg.resume_run)
+        log_device_memory("after init", self.logger)
+
+    def _freeze_mask(self, params_template):
+        """True = trainable. Mirrors reference freeze flags
+        (trainer.py:109-123, configuration_mvla freeze_vision_encoder /
+        train_expert_only / freeze_vlm)."""
+        cfg, mc = self.cfg, self.model_cfg
+        if not (mc.freeze_vision_encoder or cfg.freeze_vlm or mc.train_expert_only):
+            return None
+        mask = jax.tree.map(lambda _: True, params_template)
+        if mc.freeze_vision_encoder or mc.train_expert_only or cfg.freeze_vlm:
+            if mc.freeze_vision_encoder or mc.train_expert_only:
+                mask["siglip"] = jax.tree.map(lambda _: False, mask["siglip"])
+            if cfg.freeze_vlm or mc.train_expert_only:
+                mask["vlm"] = jax.tree.map(lambda _: False, mask["vlm"])
+                mask["vlm_embed"] = jax.tree.map(lambda _: False, mask["vlm_embed"])
+                if mc.freeze_vision_encoder or mc.train_expert_only:
+                    mask["img_proj"] = jax.tree.map(lambda _: False, mask["img_proj"])
+        return mask
+
+    # ------------------------------------------------------------------
+    # main loop
+    # ------------------------------------------------------------------
+
+    def train(self):
+        cfg = self.cfg
+        n_micro = cfg.n_updates * self.opt_cfg.grad_accumulation_steps
+        timer = Timer()
+        metric_window: list[dict] = []
+        data_iter = iter(self.train_data)
+
+        self.logger.info(
+            "training: %d updates x %d accumulation (micro-batch %d, global %d)",
+            cfg.n_updates, self.opt_cfg.grad_accumulation_steps,
+            self.micro_batch_size, cfg.global_batch_size,
+        )
+
+        for micro in range(n_micro):
+            raw = next(data_iter)
+            batch = preprocess_batch(raw, self.tokenizer, self.model_cfg)
+            batch = jax.device_put(batch, self.batch_shard)
+            self.state, metrics = self.train_step(self.state, batch)
+            metric_window.append(metrics)
+
+            is_update = (micro + 1) % self.opt_cfg.grad_accumulation_steps == 0
+            if not is_update:
+                continue
+            self.cnt_update += 1
+
+            if self.cnt_update % cfg.log_freq == 0:
+                self._log_training(metric_window, timer)
+                metric_window = []
+            if self.cnt_update % cfg.eval_freq == 0:
+                self.validate()
+            if self.cnt_update % cfg.save_model_freq == 0:
+                self.save()
+            if self.cnt_update >= cfg.n_updates:
+                break
+
+        if self._last_saved_update != self.cnt_update:
+            self.save()
+        self.logger.info("training done at update %d", self.cnt_update)
+
+    def validate(self):
+        cfg = self.cfg
+        n_batches = max(1, cfg.eval_size // self.micro_batch_size)
+        accs, l1s = [], []
+        val_iter = iter(self.val_data)
+        for i in range(n_batches):
+            raw = next(val_iter)
+            batch = preprocess_batch(raw, self.tokenizer, self.model_cfg)
+            gt = batch.pop("actions")
+            batch.pop("action_is_pad", None)
+            batch = jax.device_put(batch, self.batch_shard)
+            pred = self.sample_fn(self.state.params, jax.random.key(1000 + i), batch)
+            accs.append(np.asarray(
+                get_action_accuracy(jnp.asarray(gt), pred, cfg.eval_thresholds)))
+            l1s.append(float(l1_error(jnp.asarray(gt), pred)))
+        accs = np.mean(accs, axis=0)
+        self.logger.info(
+            "val @ update %d | l1 %.4f | %s",
+            self.cnt_update, float(np.mean(l1s)),
+            " ".join(f"acc@{t} {a:.3f}" for t, a in zip(cfg.eval_thresholds, accs)),
+        )
+        return {"l1_loss": float(np.mean(l1s)),
+                **{f"acc@{t}": float(a) for t, a in zip(cfg.eval_thresholds, accs)}}
+
+    def _log_training(self, window: list[dict], timer: Timer):
+        mean = {
+            k: float(np.mean([float(m[k]) for m in window]))
+            for k in self.cfg.train_log_metrics + ["grad_norm"]
+            if k in window[-1]
+        }
+        lr = float(self.lr_schedule(self.cnt_update * self.opt_cfg.grad_accumulation_steps))
+        line = " | ".join(f"{k} {v:8.5f}" for k, v in mean.items())
+        self.logger.info(
+            "update %6d | %s | lr %10.8f | t %5.2fs",
+            self.cnt_update, line, lr, timer(),
+        )
+
+    # ------------------------------------------------------------------
+    # checkpoints
+    # ------------------------------------------------------------------
+
+    _last_saved_update: int = -1
+
+    def save(self):
+        path = ckpt.save_checkpoint(
+            self.ckpt_root, self.state,
+            aux={"wandb_id": self.cfg.wandb.run_id, "name": self.cfg.name},
+        )
+        self._last_saved_update = self.cnt_update
+        self.logger.info("saved checkpoint %s", path)
+        return path
+
+    def _load(self, path: str, resume_run: bool):
+        self.state, aux = ckpt.restore_train_state(
+            path, self.state, self.shardings, resume_run=resume_run
+        )
+        self.cnt_update = int(aux.get("cnt_update", 0)) if resume_run else 0
+        self.logger.info("restored %s (resume=%s, update=%d)", path, resume_run, self.cnt_update)

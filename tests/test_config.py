@@ -1,0 +1,98 @@
+"""Config system tests: YAML !include, dataclass binding, CLI overrides,
+and the derivation rules inherited from the reference pipeline config."""
+
+from pathlib import Path
+
+import pytest
+
+from intact_tpu.config import (
+    EvalConfig,
+    TrainPipelineConfig,
+    apply_overrides,
+    from_dict,
+    load_yaml,
+    parse_cli,
+    to_dict,
+)
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+class TestYamlInclude:
+    def test_train_yaml_pulls_model_json(self):
+        data = load_yaml(REPO / "config/train/pi0_finetune_bridge.yaml")
+        assert data["model_cfg"]["type"] == "pi0"
+        assert data["model_cfg"]["chunk_size"] == 4
+        assert data["global_batch_size"] == 1024
+
+    def test_nested_include(self, tmp_path):
+        (tmp_path / "inner.yaml").write_text("x: 1\n")
+        (tmp_path / "outer.yaml").write_text("sub: !include inner.yaml\n")
+        assert load_yaml(tmp_path / "outer.yaml") == {"sub": {"x": 1}}
+
+
+class TestBinding:
+    def test_full_pipeline_from_yaml(self):
+        data = load_yaml(REPO / "config/train/pi0_finetune_bridge.yaml")
+        cfg = from_dict(TrainPipelineConfig, data)
+        assert cfg.global_batch_size == 1024
+        assert cfg.mesh.fsdp == 4
+        # derived: n_updates = 1_550_000 // 1024 * 15
+        assert cfg.n_updates == 1_550_000 // 1024 * 15
+        assert cfg.save_model_freq == 1_550_000 // 1024
+        # action horizon inherited from model chunk_size
+        assert cfg.data.train.action_horizon == 4
+        # val inherits unset fields from train
+        assert cfg.data.val.dataset_mix == "bridge"
+        assert cfg.data.val.shuffle_buffer_size == 10_000  # explicitly set
+
+    def test_unknown_key_rejected(self):
+        with pytest.raises(ValueError, match="Unknown config keys"):
+            from_dict(TrainPipelineConfig, {"not_a_field": 1})
+
+    def test_model_config_materialization(self):
+        data = load_yaml(REPO / "config/train/pi0_finetune_bridge.yaml")
+        cfg = from_dict(TrainPipelineConfig, data)
+        mc = cfg.make_model_config()
+        assert mc.chunk_size == 4
+        assert mc.tokenizer_max_length == 72
+        assert mc.max_action_dim == 32
+        assert mc.num_steps == 10
+
+    def test_adapter_paths_built_by_convention(self):
+        data = load_yaml(REPO / "config/experiment/simpler/pi0_finetune_bridge_ev.yaml")
+        cfg = from_dict(TrainPipelineConfig, data)
+        assert cfg.eval_cfg.env_adapter_path == (
+            "intact_tpu.envs.adapters.simpler.BridgeSimplerAdapter"
+        )
+        assert cfg.eval_cfg.simulator_path == (
+            "intact_tpu.envs.evaluators.simpler.SimplerEvaluator"
+        )
+
+    def test_parallel_eval_validation(self):
+        with pytest.raises(ValueError, match="only applicable for simplerMS3"):
+            TrainPipelineConfig(
+                eval_cfg=EvalConfig(simulator_name="simpler", n_parallel_eval=4)
+            )
+        with pytest.raises(ValueError, match="should be set"):
+            TrainPipelineConfig(eval_cfg=EvalConfig(simulator_name="simplerMS3"))
+
+
+class TestCli:
+    def test_parse_and_override(self):
+        path, ov = parse_cli(
+            ["--config_path", "x.yaml", "--eval_cfg.port", "8001", "--debug=true"]
+        )
+        assert path == "x.yaml"
+        assert ov == {"eval_cfg.port": "8001", "debug": "true"}
+
+        data = {"eval_cfg": {"port": 8000}, "debug": False}
+        out = apply_overrides(data, ov)
+        assert out["eval_cfg"]["port"] == 8001
+        assert out["debug"] is True
+
+    def test_roundtrip_to_dict(self):
+        cfg = TrainPipelineConfig()
+        d = to_dict(cfg)
+        assert d["global_batch_size"] == 1024
+        assert isinstance(d["log_dir"], str)

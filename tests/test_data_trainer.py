@@ -1,0 +1,154 @@
+"""Data pipeline + trainer integration tests (tiny model, synthetic data)."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from intact_tpu.config.pipeline import (
+    DataConfig,
+    TrainDataConfig,
+    TrainPipelineConfig,
+)
+from intact_tpu.data.dataset import InterleavedDataset
+from intact_tpu.data.synthetic import SyntheticBridgeDataset
+from intact_tpu.data.transforms import (
+    binarize_gripper_actions,
+    chunk_act_obs,
+    invert_gripper_actions,
+    rel2abs_gripper_actions,
+)
+
+
+class TestChunking:
+    def test_chunk_shapes_and_padding(self):
+        T, D = 10, 7
+        traj = {
+            "observation": {"image_primary": np.zeros((T, 8, 8, 3), np.uint8),
+                            "proprio": np.arange(T * D, dtype=np.float32).reshape(T, D)},
+            "task": {},
+            "action": np.arange(T * D, dtype=np.float32).reshape(T, D),
+        }
+        out = chunk_act_obs(traj, window_size=2, action_horizon=4)
+        assert out["action"].shape == (T, 2, 4, D)
+        assert out["observation"]["proprio"].shape == (T, 2, D)
+        # first frame history is padding
+        assert not out["observation"]["timestep_pad_mask"][0, 0]
+        assert out["observation"]["timestep_pad_mask"][0, 1]
+        # future actions clamp at the end and are marked padding past goal
+        np.testing.assert_array_equal(out["action"][T - 1, 1, 3], traj["action"][T - 1])
+        assert not out["action_pad_mask"][T - 1, 1, 3].any()
+        assert out["action_pad_mask"][0, 1, 0].all()
+
+    def test_gripper_relabel(self):
+        cont = np.array([1.0, 0.5, 0.0, 0.5, 1.0])
+        binarized = binarize_gripper_actions(cont)
+        np.testing.assert_array_equal(binarized, [1, 0, 0, 1, 1])
+        np.testing.assert_array_equal(invert_gripper_actions(binarized), [0, 1, 1, 0, 0])
+        rel = np.array([0.0, 1.0, 0.0, -1.0, 0.0])
+        np.testing.assert_array_equal(rel2abs_gripper_actions(rel), [1, 1, 1, 0, 0])
+
+
+class TestSynthetic:
+    def test_episode_deterministic(self):
+        ds = SyntheticBridgeDataset(image_size=32, action_horizon=4, seed=3)
+        e1, e2 = ds.episode(5), ds.episode(5)
+        np.testing.assert_array_equal(e1["action"], e2["action"])
+        assert not np.array_equal(e1["action"], ds.episode(6)["action"])
+
+    def test_batches_schema(self):
+        ds = SyntheticBridgeDataset(image_size=32, action_horizon=4)
+        batch = next(ds.batches(batch_size=3))
+        assert batch["observation"]["image_primary"].shape == (3, 1, 32, 32, 3)
+        assert batch["observation"]["image_primary"].dtype == np.uint8
+        assert batch["action"].shape == (3, 1, 4, 7)
+        assert batch["action_pad_mask"].shape == (3, 1, 4, 7)
+        assert batch["task"]["language_instruction"].dtype.kind == "S"
+
+    def test_host_sharding_disjoint(self):
+        ds = SyntheticBridgeDataset(image_size=16, action_horizon=2)
+        b0 = next(ds.batches(4, shard_index=0, num_shards=2))
+        b1 = next(ds.batches(4, shard_index=1, num_shards=2))
+        assert not np.array_equal(b0["action"], b1["action"])
+
+
+class TestInterleavedDataset:
+    def test_normalization_applied(self):
+        stats = {
+            "action": {"mean": [0.0] * 7, "std": [2.0] * 7,
+                       "p01": [-1.0] * 7, "p99": [1.0] * 7},
+            "proprio": {"mean": [0.0] * 7, "std": [1.0] * 7,
+                        "p01": [-1.0] * 7, "p99": [1.0] * 7},
+        }
+        dc = DataConfig(train=TrainDataConfig(action_horizon=4), backend="synthetic")
+        ds = InterleavedDataset(dc, batch_size=2, stats=stats, normalization_type="normal")
+        raw_ds = InterleavedDataset(dc, batch_size=2, stats=None)
+        b = next(iter(ds))
+        raw = next(iter(raw_ds))
+        # non-gripper dims divided by std=2; gripper untouched
+        np.testing.assert_allclose(b["action"][..., :6], raw["action"][..., :6] / 2, rtol=1e-5)
+        np.testing.assert_allclose(b["action"][..., 6], raw["action"][..., 6], rtol=1e-5)
+        assert len(ds) == 2_195_527
+
+
+class TestTrainerEndToEnd:
+    @pytest.fixture(scope="class")
+    def pipeline_cfg(self, tmp_path_factory):
+        cfg = TrainPipelineConfig(
+            name="tiny_e2e",
+            model_cfg={"type": "pi0"},
+            global_batch_size=8,
+            per_device_batch_size=1,
+            n_updates=3,
+            save_model_freq=100,
+            log_freq=1,
+            eval_freq=2,
+            eval_size=4,
+            use_bf16=False,
+        )
+        cfg.log_dir = tmp_path_factory.mktemp("log")
+        return cfg
+
+    def test_trainer_runs_and_checkpoints(self, pipeline_cfg, monkeypatch):
+        # swap the 3B config for the tiny one
+        from intact_tpu.config import pipeline as cp
+        from intact_tpu.models.pi0.config import Pi0Config
+
+        monkeypatch.setattr(
+            cp, "pi0_config_from_json", lambda d: Pi0Config.tiny()
+        )
+        from intact_tpu.train.trainer import Pi0Trainer
+
+        trainer = Pi0Trainer(pipeline_cfg)
+        trainer.train()
+        assert trainer.cnt_update == 3
+        # one real step must produce a finite loss (guards tokenizer/vocab
+        # mismatches that surface as NaN)
+        raw = next(iter(trainer.train_data))
+        from intact_tpu.train.trainer import preprocess_batch
+        import jax as _jax
+
+        batch = preprocess_batch(raw, trainer.tokenizer, trainer.model_cfg)
+        from intact_tpu.models.pi0 import model as pi0
+
+        loss, _ = pi0.compute_loss(
+            trainer.state.params, _jax.random.key(0), batch,
+            trainer.model_cfg, trainer.policy,
+        )
+        assert np.isfinite(float(loss)), "training loss is not finite"
+
+        # checkpoint written with the step_{n} contract
+        from intact_tpu.train.checkpoint import list_steps
+
+        steps = list_steps(trainer.ckpt_root)
+        assert steps == [3]
+
+        # resume restores the counter
+        cfg2 = dataclasses.replace(pipeline_cfg)
+        cfg2.load_from_checkpoint = str(trainer.ckpt_root)
+        cfg2.finalize()
+        trainer2 = Pi0Trainer(cfg2)
+        assert trainer2.cnt_update == 3
+        p_old = trainer.state.params["expert"]["final_norm"]["scale"]
+        p_new = trainer2.state.params["expert"]["final_norm"]["scale"]
+        np.testing.assert_array_equal(np.asarray(p_old), np.asarray(p_new))
