@@ -1,0 +1,139 @@
+"""Pi0Policy: host-side policy interface around the jitted model.
+
+The LeRobot-PreTrainedPolicy-equivalent surface the serving stack consumes
+(reference `src/model/mvla/modeling_mvla.py:221-342`): language tokenization,
+state/image padding to model dims, an action queue that re-infers every
+n_action_steps, and checkpoint load/save. All device work is two jitted
+functions (sample chunk / compute loss); everything else is numpy.
+"""
+
+from __future__ import annotations
+
+import functools
+from collections import deque
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from intact_tpu.models import common as cm
+from intact_tpu.models.pi0 import model as pi0
+from intact_tpu.models.pi0.config import Pi0Config
+from intact_tpu.models.tokenizer import make_tokenizer
+from intact_tpu.train import checkpoint as ckpt_lib
+
+
+class Pi0Policy:
+    def __init__(
+        self,
+        cfg: Pi0Config,
+        params=None,
+        tokenizer=None,
+        seed: int = 0,
+        use_bf16: bool = True,
+        sharding=None,
+    ):
+        self.cfg = cfg
+        self.policy = (
+            cm.SERVING_POLICY if use_bf16 else
+            cm.DtypePolicy(param_dtype=jnp.float32, compute_dtype=jnp.float32)
+        )
+        self.tokenizer = tokenizer or make_tokenizer(
+            None, cfg.tokenizer_max_length, vocab_size=cfg.vlm.vocab_size
+        )
+        self._rng = jax.random.key(seed)
+        self._queue: deque = deque()
+        self._sharding = sharding
+
+        if params is None:
+            params = jax.jit(
+                lambda k: jax.tree.map(
+                    lambda x: x.astype(self.policy.param_dtype), pi0.init(k, cfg)
+                )
+            )(jax.random.key(seed))
+        self.params = params
+
+        self._sample = jax.jit(
+            functools.partial(self._sample_impl, cfg=cfg, policy=self.policy)
+        )
+
+    @staticmethod
+    def _sample_impl(params, key, images, img_masks, lang_tokens, lang_masks,
+                     state, *, cfg, policy):
+        return pi0.sample_actions(
+            params, key, images, img_masks, lang_tokens, lang_masks, state,
+            cfg, policy,
+        )
+
+    # ------------------------------------------------------------------
+    # checkpoint interface (step_{n} contract, hot-swappable)
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def from_checkpoint(cls, path: str, cfg: Pi0Config, **kwargs) -> "Pi0Policy":
+        policy = cls(cfg, **kwargs)
+        policy.load(path)
+        return policy
+
+    def load(self, path: str) -> None:
+        """Restore params from an Orbax step dir (or latest under a root).
+        Unlike the reference's del-model/gc/empty-cache dance
+        (policy_wrapper.py:61-67), restore writes into fresh device buffers
+        and the old params are dropped atomically."""
+        restored = ckpt_lib.restore_params(path, self.params, self._sharding)
+        self.params = jax.tree.map(
+            lambda x: x.astype(self.policy.param_dtype), restored
+        )
+        self.reset()
+
+    # ------------------------------------------------------------------
+    # inference
+    # ------------------------------------------------------------------
+
+    def reset(self) -> None:
+        self._queue.clear()
+
+    def _next_key(self):
+        self._rng, k = jax.random.split(self._rng)
+        return k
+
+    def prepare_inputs(self, batch: dict):
+        """Normalize a host obs batch into model arrays.
+
+        batch keys: "image" [B, H, W, 3] float [-1,1] or [B, K, H, W, 3];
+        "state" [B, <=max_state_dim]; "task" list[str].
+        """
+        image = np.asarray(batch["image"], np.float32)
+        if image.ndim == 4:
+            image = image[:, None]  # add camera axis
+        b = image.shape[0]
+        img_masks = np.ones((b, image.shape[1]), bool)
+
+        lang_tokens, lang_masks = self.tokenizer(
+            list(batch["task"]), self.cfg.tokenizer_max_length
+        )
+
+        state_in = np.asarray(batch["state"], np.float32)
+        state = np.zeros((b, self.cfg.max_state_dim), np.float32)
+        state[:, : state_in.shape[-1]] = state_in
+        return image, img_masks, lang_tokens, lang_masks, state
+
+    def sample_action_chunk(self, batch: dict) -> np.ndarray:
+        """One inference -> [B, chunk_size, action_dim] (unpadded dims kept)."""
+        images, img_masks, lang_tokens, lang_masks, state = self.prepare_inputs(batch)
+        actions = self._sample(
+            self.params, self._next_key(), jnp.asarray(images), jnp.asarray(img_masks),
+            jnp.asarray(lang_tokens), jnp.asarray(lang_masks), jnp.asarray(state),
+        )
+        return np.asarray(actions, np.float32)
+
+    def select_action(self, batch: dict, action_dim: int | None = None) -> np.ndarray:
+        """Queue semantics (reference modeling_mvla.py:255-307): re-infer when
+        the queue of n_action_steps actions drains; returns [B, action_dim]."""
+        if not self._queue:
+            chunk = self.sample_action_chunk(batch)
+            if action_dim is not None:
+                chunk = chunk[:, :, :action_dim]
+            for i in range(min(self.cfg.n_action_steps, chunk.shape[1])):
+                self._queue.append(chunk[:, i])
+        return self._queue.popleft()

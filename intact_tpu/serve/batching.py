@@ -1,0 +1,168 @@
+"""Continuous-batching websocket policy server.
+
+The reference server answers one request at a time per connection
+(`websocket_policy_server.py:55-81`) and scales by launching 4 server
+processes per GPU. On TPU the economics invert: one Pi0-3B inference for
+batch 1 and batch 64 costs nearly the same wall-clock, so this server keeps
+ONE model on the chip and fuses concurrent client requests into device-sized
+batches:
+
+  connection handlers ──obs──> request queue ──collect(max_batch, timeout)──>
+  one sample_action_chunk ──scatter──> per-connection replies
+
+Wire format is unchanged (msgpack-numpy, metadata push, reset/switch_model
+control messages), so reference evaluator clients drive it unmodified.
+Per-connection state (env adapter episode state like sticky grippers) lives
+with the connection, not the model.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import logging
+import traceback
+
+import numpy as np
+import websockets.asyncio.server
+import websockets.frames
+
+from intact_tpu.protocol import msgpack_numpy
+from intact_tpu.utils.monitor import setup_logger
+from intact_tpu.utils.pipeline import get_class_from_path
+
+
+class _Request:
+    __slots__ = ("inputs", "adapter", "future")
+
+    def __init__(self, inputs, adapter, future):
+        self.inputs = inputs
+        self.adapter = adapter
+        self.future = future
+
+
+class BatchingPolicyServer:
+    def __init__(
+        self,
+        policy,  # Pi0Policy-like: sample_action_chunk(batch) -> [N, chunk, D]
+        config,
+        host: str = "0.0.0.0",
+        port: int = 8000,
+        metadata: dict | None = None,
+        max_batch_size: int = 64,
+        batch_timeout_ms: float = 5.0,
+    ):
+        self._policy = policy
+        self._config = config
+        self._host = host
+        self._port = port
+        self._metadata = metadata or {}
+        self._max_batch = max_batch_size
+        self._timeout_s = batch_timeout_ms / 1000.0
+        self._queue: asyncio.Queue[_Request] = None  # created in run()
+        self.logger = setup_logger(True, name="batching_server")
+        self.logger.setLevel(logging.INFO)
+
+    def _make_adapter(self):
+        return get_class_from_path(self._config.eval_cfg.env_adapter_path)(self._config)
+
+    def serve_forever(self) -> None:
+        asyncio.run(self.run())
+
+    async def run(self):
+        self._queue = asyncio.Queue()
+        worker = asyncio.create_task(self._batch_worker())
+        try:
+            async with websockets.asyncio.server.serve(
+                self._handler, self._host, self._port,
+                compression=None, max_size=None,
+            ) as server:
+                self.logger.info(
+                    "batching server on %s:%s (max_batch=%d, timeout=%.1fms)",
+                    self._host, self._port, self._max_batch, self._timeout_s * 1e3,
+                )
+                await server.serve_forever()
+        finally:
+            worker.cancel()
+
+    # ------------------------------------------------------------------
+
+    async def _batch_worker(self):
+        """Collect requests into batches and run the device once per batch."""
+        loop = asyncio.get_running_loop()
+        while True:
+            first = await self._queue.get()
+            batch = [first]
+            deadline = loop.time() + self._timeout_s
+            while len(batch) < self._max_batch:
+                remaining = deadline - loop.time()
+                if remaining <= 0:
+                    break
+                try:
+                    batch.append(await asyncio.wait_for(self._queue.get(), remaining))
+                except asyncio.TimeoutError:
+                    break
+            try:
+                results = await loop.run_in_executor(None, self._infer_batch, batch)
+                for req, res in zip(batch, results):
+                    if not req.future.done():
+                        req.future.set_result(res)
+            except Exception as e:  # propagate to every waiting connection
+                for req in batch:
+                    if not req.future.done():
+                        req.future.set_exception(e)
+
+    def _infer_batch(self, batch: list[_Request]) -> list[np.ndarray]:
+        fused = {
+            "image": np.concatenate([r.inputs["image"] for r in batch]),
+            "state": np.concatenate([r.inputs["state"] for r in batch]),
+            "task": [r.inputs["task"][0] for r in batch],
+        }
+        chunks = self._policy.sample_action_chunk(fused)  # [N, chunk, D_model]
+        out = []
+        action_step = self._config.eval_cfg.action_step
+        for i, req in enumerate(batch):
+            env_dim = len(req.adapter.dataset_statistics["action"]["mean"])
+            out.append(req.adapter.postprocess(chunks[i, :action_step, :env_dim]))
+        return out
+
+    # ------------------------------------------------------------------
+
+    async def _handler(self, websocket):
+        packer = msgpack_numpy.Packer()
+        adapter = self._make_adapter()  # per-connection episode state
+        await websocket.send(packer.pack(self._metadata))
+        loop = asyncio.get_running_loop()
+
+        while True:
+            try:
+                obs = msgpack_numpy.unpackb(await websocket.recv())
+
+                if isinstance(obs, dict) and obs.get("new_model_path") is not None:
+                    # model swap is global: drain-free but safe because the
+                    # worker runs inference in this same loop's executor
+                    await loop.run_in_executor(
+                        None, self._policy.load, obs["new_model_path"]
+                    )
+                    await websocket.send(packer.pack({"status": "model switched"}))
+                    continue
+
+                if isinstance(obs, dict) and obs.get("reset", False):
+                    adapter.reset()
+                    self._policy.reset()
+                    await websocket.send(packer.pack({"status": "reset"}))
+                    continue
+
+                inputs = adapter.preprocess(obs)
+                future = loop.create_future()
+                await self._queue.put(_Request(inputs, adapter, future))
+                action = await future
+                await websocket.send(packer.pack(action))
+            except websockets.ConnectionClosed:
+                break
+            except Exception:
+                await websocket.send(traceback.format_exc())
+                await websocket.close(
+                    code=websockets.frames.CloseCode.INTERNAL_ERROR,
+                    reason="Internal server error. Traceback included in previous frame.",
+                )
+                raise

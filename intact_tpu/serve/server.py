@@ -1,0 +1,35 @@
+"""Server entry: pick the per-request server (reference semantics) or the
+continuous-batching server (TPU default for >1 concurrent client)."""
+
+from __future__ import annotations
+
+from intact_tpu.protocol.websocket_policy_server import WebsocketPolicyServer
+
+
+def serve(policy_wrapper, config, batching: bool | None = None) -> None:
+    """Blocking. policy_wrapper follows the select_action/reset/switch_model
+    surface; with batching=True the underlying Pi0Policy is served through
+    the request-fusing server instead."""
+    ec = config.eval_cfg
+    metadata = {
+        "model": config.model_cfg.get("type", "pi0"),
+        "action_step": ec.action_step,
+    }
+    use_batching = batching if batching is not None else ec.max_batch_size > 1
+
+    if use_batching and hasattr(policy_wrapper, "policy"):
+        from intact_tpu.serve.batching import BatchingPolicyServer
+
+        BatchingPolicyServer(
+            policy_wrapper.policy,
+            config,
+            host=ec.host,
+            port=ec.port,
+            metadata=metadata,
+            max_batch_size=ec.max_batch_size,
+            batch_timeout_ms=ec.batch_timeout_ms,
+        ).serve_forever()
+    else:
+        WebsocketPolicyServer(
+            policy_wrapper, host=ec.host, port=ec.port, metadata=metadata
+        ).serve_forever()

@@ -1,0 +1,188 @@
+"""End-to-end serving tests: tiny Pi0 policy server <-> fake-simulator
+evaluator client over a real websocket, plus the batching server under
+concurrent clients. This is the protocol-level integration the reference
+only exercised manually (scripts/eval/test_evaluator.sh)."""
+
+import threading
+import time
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from intact_tpu.config.pipeline import EnvConfig, EvalConfig, TrainPipelineConfig
+
+REPO = Path(__file__).resolve().parent.parent
+STATS = str(REPO / "config/dataset/bridge_statistics.json")
+
+
+def make_cfg(port: int, **eval_kw) -> TrainPipelineConfig:
+    cfg = TrainPipelineConfig(
+        name="serve_test",
+        model_cfg={"type": "pi0_tiny"},
+        use_bf16=False,
+        eval_cfg=EvalConfig(
+            simulator_name="simpler",
+            env_adapter="BridgeSimplerAdapter",
+            task_list=["widowx_carrot_on_plate"],
+            n_eval_episode=2,
+            n_video=0,
+            recording=False,
+            role="server",
+            host="127.0.0.1",
+            port=port,
+            action_step=4,
+            **eval_kw,
+        ),
+        env=EnvConfig(dataset_statistics_path=STATS, image_size=(28, 28)),
+    )
+    return cfg
+
+
+def start_server_thread(serve_fn):
+    t = threading.Thread(target=serve_fn, daemon=True)
+    t.start()
+    return t
+
+
+class TestAdapters:
+    def test_bridge_preprocess_postprocess_roundtrip(self):
+        from intact_tpu.envs.adapters.simpler import BridgeSimplerAdapter
+
+        cfg = make_cfg(port=0)
+        adapter = BridgeSimplerAdapter(cfg)
+        obs = {
+            "observation.images.top": np.zeros((480, 640, 3), np.uint8),
+            "observation.state": {
+                "agent": {"eef_pos": np.array([0.1, 0.2, 0.3, 1.0, 0, 0, 0, 0.8])}
+            },
+            "task": "put the carrot on the plate",
+        }
+        inputs = adapter.preprocess(obs)
+        assert inputs["image"].shape == (1, 28, 28, 3)
+        assert inputs["image"].min() >= -1 and inputs["image"].max() <= 1
+        assert inputs["state"].shape == (1, 7)
+        # state normalized to [-1, 1] under the bound scheme
+        assert np.abs(inputs["state"]).max() <= 1.0
+
+        actions = np.random.uniform(-1, 1, (4, 7)).astype(np.float32)
+        out = adapter.postprocess(actions)
+        assert out.shape == (4, 7)
+        assert set(np.unique(out[:, 6])).issubset({-1.0, 1.0})
+
+    def test_edr_sticky_gripper(self):
+        from intact_tpu.envs.adapters.simpler import EDRSimplerAdapter
+
+        cfg = make_cfg(port=0)
+        adapter = EDRSimplerAdapter(cfg)
+        adapter.reset()
+        # closing command (0 = close in [0,1]) -> relative +1 (close), sticky
+        first = adapter.postprocess_gripper(0.0)
+        assert first == 1.0
+        # subsequent opposite commands stay sticky for 15 repeats
+        vals = [adapter.postprocess_gripper(1.0) for _ in range(14)]
+        assert all(v == 1.0 for v in vals)
+        # sticky expires
+        post = [adapter.postprocess_gripper(1.0) for _ in range(2)]
+        assert post[-1] == -1.0
+
+    def test_language_mapper_sticky_per_episode(self):
+        from intact_tpu.envs.adapters.language_mapper import PersistentLanguageMapper
+
+        m = PersistentLanguageMapper(seed=1)
+        a = m.map("put the carrot on the plate")
+        b = m.map("put the carrot on the plate")
+        assert a == b and "carrot" not in a
+        m.reset()
+        # mapping may change across episodes but stays internally sticky
+        c = m.map("put the carrot on the plate")
+        assert "carrot" not in c
+
+    def test_action_ensembler(self):
+        from intact_tpu.envs.adapters.simpler import ActionEnsembler
+
+        ens = ActionEnsembler(pred_horizon=3, ensemble_temp=0.0)
+        chunk = np.tile(np.arange(3)[:, None], (1, 2)).astype(float)  # rows 0,1,2
+        a0 = ens.ensemble(chunk)
+        np.testing.assert_allclose(a0, [0, 0])
+        a1 = ens.ensemble(chunk)  # old chunk contributes row 1, new row 0
+        np.testing.assert_allclose(a1, [0.5, 0.5])
+
+
+@pytest.mark.slow
+class TestServeEvalEndToEnd:
+    def test_full_eval_loop_over_websocket(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("VLA_LOG_DIR", str(tmp_path))
+        from intact_tpu.serve.policy_wrapper import Pi0PolicyWrapper
+        from intact_tpu.protocol.websocket_policy_server import WebsocketPolicyServer
+
+        cfg = make_cfg(port=18621)
+        wrapper = Pi0PolicyWrapper(cfg)
+        server = WebsocketPolicyServer(
+            wrapper, host="127.0.0.1", port=18621, metadata={"model": "pi0_tiny"}
+        )
+        start_server_thread(server.serve_forever)
+
+        from intact_tpu.envs.evaluators.fake import fake_env_factory, fake_image_getter
+        from intact_tpu.envs.evaluators.simpler import SimplerEvaluator
+
+        client_cfg = make_cfg(port=18621)
+        client_cfg.eval_cfg.role = "client"
+        evaluator = SimplerEvaluator(
+            client_cfg, env_factory=fake_env_factory, image_getter=fake_image_getter
+        )
+        results = evaluator.evaluate()
+
+        task = results["widowx_carrot_on_plate"]
+        assert set(task) == {
+            "Success Rate", "Move Correct", "Wrong Obj Attempt",
+            "Grasp Correct", "Src Intention Correct",
+        }
+        # log-dir contract: eval_online/<sim>/<name>/step_N/ta_K/<seed>/<ts>
+        logs = list(tmp_path.glob("eval_online/simpler/serve_test/step_0/ta_4/42/*/eval.log"))
+        assert logs, "expected eval.log under the reference directory layout"
+
+    def test_batching_server_concurrent_clients(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("VLA_LOG_DIR", str(tmp_path))
+        from intact_tpu.serve.batching import BatchingPolicyServer
+        from intact_tpu.serve.policy_wrapper import Pi0PolicyWrapper
+        from intact_tpu.protocol.websocket_policy_client import WebsocketPolicyClient
+
+        cfg = make_cfg(port=18622)
+        wrapper = Pi0PolicyWrapper(cfg)
+        server = BatchingPolicyServer(
+            wrapper.policy, cfg, host="127.0.0.1", port=18622,
+            metadata={"model": "pi0_tiny"}, max_batch_size=4, batch_timeout_ms=20,
+        )
+        start_server_thread(server.serve_forever)
+        time.sleep(0.5)
+
+        obs = {
+            "observation.images.top": np.zeros((64, 64, 3), np.uint8),
+            "observation.state": {
+                "agent": {"eef_pos": np.array([0.1, 0.2, 0.3, 1.0, 0, 0, 0, 0.8])}
+            },
+            "task": "put the carrot on the plate",
+        }
+
+        results = {}
+        errors = []
+
+        def client_run(i):
+            try:
+                c = WebsocketPolicyClient("127.0.0.1", 18622, retry_interval_s=0.2)
+                for _ in range(3):
+                    action = c.infer(obs)
+                    assert np.asarray(action).shape == (4, 7)
+                assert c.reset() == {"status": "reset"}
+                results[i] = np.asarray(action)
+            except Exception as e:  # surface in main thread
+                errors.append(e)
+
+        threads = [threading.Thread(target=client_run, args=(i,)) for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+        assert not errors, errors
+        assert len(results) == 4
