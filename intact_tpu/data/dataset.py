@@ -60,6 +60,7 @@ class InterleavedDataset:
             self._ds = RLDSInterleavedBackend(
                 data_cfg, section, split=split, seed=seed,
                 shard_index=shard_index, num_shards=num_shards,
+                image_size=image_size,
             )
             self._num_transitions = self._ds.num_transitions
         else:
@@ -77,10 +78,12 @@ class InterleavedDataset:
     def __iter__(self) -> Iterator[dict]:
         if self.backend == "synthetic":
             it = self._ds.batches(self.batch_size, self.shard_index, self.num_shards)
+            # synthetic frames are raw -> normalize here; the rlds backend
+            # normalizes in-graph against per-dataset statistics
+            for batch in it:
+                yield self._normalize(batch)
         else:
-            it = self._ds.batches(self.batch_size)
-        for batch in it:
-            yield self._normalize(batch)
+            yield from self._ds.batches(self.batch_size)
 
     def _normalize(self, batch: dict) -> dict:
         if self.stats is None:

@@ -1,0 +1,363 @@
+"""RLDS interleaved input pipeline on tf.data (host CPU).
+
+Architecture parity with the reference pipeline (`src/data/rlds_dataset.py`:
+make_dataset_from_rlds :264-489, apply_trajectory_transforms :34-182,
+apply_frame_transforms :185-261, make_interleaved_dataset :492-615) without
+porting dlimp — trajectory- vs frame-level stages are explicit function
+boundaries here:
+
+  load (tfds/episode-dir) -> standardize (oxe registry) -> statistics ->
+  normalize -> traj transforms (filter, chunk, subsample) -> flatten ->
+  weighted sample_from_datasets -> shuffle -> frame transforms (decode,
+  resize, augment) -> batch -> numpy
+
+TPU-specific fixes over the reference:
+  * per-host sharding (`shard(num_shards, shard_index)` before interleave)
+    — the reference ran an identical unsharded pipeline per DDP rank;
+  * stateless (seeded) augmentation throughout, so every host/epoch is
+    reproducible.
+
+Episode sources: a TFDS builder dir when tensorflow_datasets is importable
+(the OXE distribution format), else a directory of .npz episode files
+(one file per trajectory with observation/*, action, language keys) —
+written by scripts/dataset tooling — so the pipeline also runs in
+environments without tfds.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+import tensorflow as tf
+
+from intact_tpu.data import stats as stats_lib
+from intact_tpu.data.tf_transforms import (
+    augment_image_tf,
+    chunk_act_obs_tf,
+    decode_and_resize_tf,
+)
+
+AUTOTUNE = tf.data.AUTOTUNE
+
+
+# ---------------------------------------------------------------------------
+# episode sources
+# ---------------------------------------------------------------------------
+
+def _episodes_from_tfds(name: str, data_dir: str, split: str, num_parallel_reads):
+    import tensorflow_datasets as tfds
+
+    builder = tfds.builder(name, data_dir=data_dir)
+    ds = builder.as_dataset(
+        split=split,
+        decoders={"steps": tfds.decode.SkipDecoding()},
+        read_config=tfds.ReadConfig(
+            skip_prefetch=True, num_parallel_calls_for_interleave_files=num_parallel_reads
+        ),
+        shuffle_files=True,
+    )
+
+    def steps_to_traj(episode):
+        steps = episode["steps"]
+        return tf.nest.map_structure(lambda x: x, steps)
+
+    return ds.map(steps_to_traj, num_parallel_calls=AUTOTUNE)
+
+
+def _episodes_from_npz_dir(path: Path):
+    """Directory of per-trajectory .npz files -> trajectory dict dataset."""
+    files = sorted(str(p) for p in Path(path).glob("*.npz"))
+    if not files:
+        raise FileNotFoundError(f"no .npz episodes under {path}")
+
+    def load(file_path):
+        def _load_np(fp):
+            with np.load(fp.numpy().decode(), allow_pickle=False) as z:
+                img = z["image_primary"]
+                return (
+                    img,
+                    z["proprio"].astype(np.float32),
+                    z["action"].astype(np.float32),
+                    z["language_instruction"].astype("S"),
+                )
+
+        img, proprio, action, lang = tf.py_function(
+            _load_np, [file_path], [tf.uint8, tf.float32, tf.float32, tf.string]
+        )
+        img.set_shape([None, None, None, 3])
+        proprio.set_shape([None, None])
+        action.set_shape([None, None])
+        lang.set_shape([None])
+        return {
+            "observation": {"image_primary": img, "proprio": proprio},
+            "task": {"language_instruction": lang},
+            "action": action,
+        }
+
+    return tf.data.Dataset.from_tensor_slices(files), load
+
+
+# ---------------------------------------------------------------------------
+# per-dataset pipeline
+# ---------------------------------------------------------------------------
+
+def make_dataset_from_rlds(
+    name: str,
+    data_dir: str,
+    *,
+    train: bool,
+    standardize_fn=None,
+    split: str | None = None,
+    action_normalization_mask=None,
+    normalization_type: str = "normal",
+    dataset_statistics: dict | str | None = None,
+    skip_unlabeled: bool = True,
+    max_action: float | None = None,
+    shard_index: int = 0,
+    num_shards: int = 1,
+    num_parallel_reads=AUTOTUNE,
+    num_parallel_calls=AUTOTUNE,
+):
+    """-> (trajectory dataset, statistics dict). Trajectories are in the
+    canonical layout after `standardize_fn`."""
+    src = Path(data_dir) / name
+    use_tfds = False
+    try:
+        import tensorflow_datasets  # noqa: F401
+
+        use_tfds = (Path(data_dir) / name).exists() and any(
+            (Path(data_dir) / name).rglob("dataset_info.json")
+        )
+    except ImportError:
+        use_tfds = False
+
+    if use_tfds:
+        split = split or ("train[:95%]" if train else "train[95%:]")
+        ds = _episodes_from_tfds(name, data_dir, split, num_parallel_reads)
+        if num_shards > 1:
+            ds = ds.shard(num_shards, shard_index)
+        if standardize_fn is not None:
+            ds = ds.map(standardize_fn, num_parallel_calls=num_parallel_calls)
+    else:
+        files_ds, load = _episodes_from_npz_dir(src)
+        n = int(files_ds.cardinality())
+        split_point = int(n * 0.95)
+        files_ds = files_ds.take(split_point) if train else files_ds.skip(split_point)
+        if num_shards > 1:
+            files_ds = files_ds.shard(num_shards, shard_index)
+        ds = files_ds.map(load, num_parallel_calls=num_parallel_calls)
+        # npz episodes are pre-standardized by the conversion tooling
+
+    if skip_unlabeled:
+        ds = ds.filter(
+            lambda t: tf.math.reduce_any(t["task"]["language_instruction"] != "")
+        )
+    if max_action is not None:
+        ds = ds.filter(
+            lambda t: tf.math.reduce_all(tf.abs(t["action"]) <= max_action)
+        )
+
+    # statistics: explicit dict/path, else compute+cache from the data
+    if isinstance(dataset_statistics, (str, Path)):
+        statistics = stats_lib.load_statistics(dataset_statistics)
+    elif isinstance(dataset_statistics, dict):
+        statistics = dataset_statistics
+    else:
+        def traj_iter():
+            for t in ds.as_numpy_iterator():
+                yield {"action": t["action"], "proprio": t["observation"]["proprio"]}
+
+        statistics = stats_lib.get_dataset_statistics(
+            traj_iter, [name, str(data_dir), "train" if train else "val"]
+        )
+
+    # normalize in-graph
+    mask = np.asarray(
+        action_normalization_mask
+        if action_normalization_mask is not None
+        else [True] * len(statistics["action"]["mean"])
+    )
+
+    def normalize(traj):
+        a = traj["action"]
+        if normalization_type == "normal":
+            mean = tf.constant(statistics["action"]["mean"], tf.float32)
+            std = tf.constant(statistics["action"]["std"], tf.float32)
+            na = (a - mean) / (std + 1e-8)
+        else:
+            lo = tf.constant(statistics["action"]["p01"], tf.float32)
+            hi = tf.constant(statistics["action"]["p99"], tf.float32)
+            na = tf.clip_by_value(2.0 * (a - lo) / (hi - lo + 1e-8) - 1.0, -1.0, 1.0)
+        traj["action"] = tf.where(tf.constant(mask), na, a)
+        if "proprio" in traj["observation"] and "proprio" in statistics:
+            p = traj["observation"]["proprio"]
+            if normalization_type == "normal":
+                pm = tf.constant(statistics["proprio"]["mean"], tf.float32)
+                ps = tf.constant(statistics["proprio"]["std"], tf.float32)
+                traj["observation"]["proprio"] = (p - pm) / (ps + 1e-8)
+            else:
+                lo = tf.constant(statistics["proprio"]["p01"], tf.float32)
+                hi = tf.constant(statistics["proprio"]["p99"], tf.float32)
+                traj["observation"]["proprio"] = tf.clip_by_value(
+                    2.0 * (p - lo) / (hi - lo + 1e-8) - 1.0, -1.0, 1.0
+                )
+        return traj
+
+    ds = ds.map(normalize, num_parallel_calls=num_parallel_calls)
+    return ds, statistics
+
+
+def apply_trajectory_transforms(
+    ds: tf.data.Dataset,
+    *,
+    train: bool,
+    window_size: int = 1,
+    action_horizon: int = 1,
+    subsample_length: int | None = None,
+    num_parallel_calls=AUTOTUNE,
+) -> tf.data.Dataset:
+    ds = ds.map(
+        lambda t: chunk_act_obs_tf(t, window_size, action_horizon),
+        num_parallel_calls=num_parallel_calls,
+    )
+    if train and subsample_length is not None:
+        def subsample(traj):
+            length = tf.shape(traj["action"])[0]
+            idx = tf.random.shuffle(tf.range(length))[:subsample_length]
+            return tf.nest.map_structure(lambda x: tf.gather(x, idx), traj)
+
+        ds = ds.map(subsample, num_parallel_calls=num_parallel_calls)
+    return ds
+
+
+def flatten_to_frames(ds: tf.data.Dataset) -> tf.data.Dataset:
+    return ds.flat_map(tf.data.Dataset.from_tensor_slices)
+
+
+def apply_frame_transforms(
+    ds: tf.data.Dataset,
+    *,
+    train: bool,
+    resize_size: tuple[int, int] = (224, 224),
+    augment: bool = True,
+    augment_seed: int = 0,
+    num_parallel_calls=AUTOTUNE,
+) -> tf.data.Dataset:
+    def frame_fn(frame, seed_offset):
+        img = frame["observation"]["image_primary"]
+        # [window, H, W, C]
+        img = tf.map_fn(
+            lambda im: decode_and_resize_tf(im, resize_size), img,
+            fn_output_signature=tf.uint8,
+        )
+        if train and augment:
+            seed = tf.stack([tf.cast(seed_offset, tf.int32), augment_seed])
+            img = tf.map_fn(
+                lambda im: augment_image_tf(im, seed), img,
+                fn_output_signature=tf.uint8,
+            )
+        frame["observation"]["image_primary"] = img
+        return frame
+
+    return ds.enumerate().map(
+        lambda i, f: frame_fn(f, i), num_parallel_calls=num_parallel_calls
+    )
+
+
+# ---------------------------------------------------------------------------
+# interleaved mix
+# ---------------------------------------------------------------------------
+
+def make_interleaved_dataset(
+    dataset_kwargs_list: list[dict],
+    sample_weights: list[float] | None,
+    *,
+    train: bool,
+    shuffle_buffer_size: int,
+    window_size: int = 1,
+    action_horizon: int = 1,
+    resize_size=(224, 224),
+    balance_weights: bool = True,
+    batch_size: int | None = None,
+    seed: int = 0,
+    shard_index: int = 0,
+    num_shards: int = 1,
+):
+    """-> (tf.data.Dataset of frames/batches, total_transitions, stats dict)."""
+    sample_weights = list(sample_weights or [1.0] * len(dataset_kwargs_list))
+
+    datasets, sizes, all_stats = [], [], {}
+    for kwargs in dataset_kwargs_list:
+        kw = dict(kwargs)
+        kw.pop("load_proprio", None)
+        ds, statistics = make_dataset_from_rlds(
+            train=train, shard_index=shard_index, num_shards=num_shards, **kw
+        )
+        all_stats[kwargs["name"]] = statistics
+        sizes.append(statistics["num_transitions"])
+        ds = apply_trajectory_transforms(
+            ds, train=train, window_size=window_size, action_horizon=action_horizon
+        )
+        datasets.append(flatten_to_frames(ds.repeat()))
+
+    if balance_weights:
+        sample_weights = [w * s for w, s in zip(sample_weights, sizes)]
+    total = sum(sample_weights)
+    sample_weights = [w / total for w in sample_weights]
+
+    if len(datasets) == 1:
+        ds = datasets[0]
+    else:
+        ds = tf.data.Dataset.sample_from_datasets(
+            datasets, weights=sample_weights, seed=seed
+        )
+    if shuffle_buffer_size > 1:
+        ds = ds.shuffle(shuffle_buffer_size, seed=seed)
+    ds = apply_frame_transforms(
+        ds, train=train, resize_size=resize_size, augment_seed=seed
+    )
+    if batch_size is not None:
+        ds = ds.batch(batch_size, drop_remainder=True)
+    ds = ds.with_options(_options())
+    return ds.prefetch(AUTOTUNE), int(sum(sizes)), all_stats
+
+
+def _options() -> tf.data.Options:
+    opts = tf.data.Options()
+    opts.experimental_optimization.map_parallelization = True
+    opts.threading.private_threadpool_size = 0  # use shared pool
+    return opts
+
+
+# ---------------------------------------------------------------------------
+# backend facade for data.dataset.InterleavedDataset
+# ---------------------------------------------------------------------------
+
+class RLDSInterleavedBackend:
+    def __init__(self, data_cfg, section, split: str, seed: int,
+                 shard_index: int = 0, num_shards: int = 1,
+                 image_size: int = 224):
+        from intact_tpu.data.oxe import make_oxe_dataset_kwargs_and_weights
+
+        kwargs_list, weights = make_oxe_dataset_kwargs_and_weights(
+            section.dataset_mix, str(section.data_path),
+            load_proprio=section.load_proprio,
+        )
+        self._ds, self.num_transitions, self.statistics = make_interleaved_dataset(
+            kwargs_list, weights,
+            train=(split == "train"),
+            shuffle_buffer_size=section.shuffle_buffer_size,
+            window_size=section.window_size or 1,
+            action_horizon=section.action_horizon or 1,
+            resize_size=(image_size, image_size),
+            seed=seed,
+            shard_index=shard_index,
+            num_shards=num_shards,
+        )
+
+    def batches(self, batch_size: int):
+        ds = self._ds.batch(batch_size, drop_remainder=True)
+        for batch in ds.as_numpy_iterator():
+            yield batch

@@ -53,6 +53,10 @@ class SyntheticBridgeDataset:
 
     def episode(self, idx: int) -> dict:
         """One chunked trajectory dict."""
+        return chunk_act_obs(self.raw_episode(idx), self.window_size, self.action_horizon)
+
+    def raw_episode(self, idx: int) -> dict:
+        """One unchunked trajectory in the canonical layout."""
         rng = np.random.default_rng((self.seed, idx))
         T = int(rng.integers(self.min_len, self.max_len + 1))
         s = self.image_size
@@ -78,13 +82,12 @@ class SyntheticBridgeDataset:
             imgs[t, cy[t]:cy[t] + 24, cx[t]:cx[t] + 24] = color
 
         instruction = INSTRUCTIONS[int(rng.integers(len(INSTRUCTIONS)))]
-        traj = {
+        return {
             "observation": {"image_primary": imgs, "proprio": proprio},
             "task": {"language_instruction": np.array([instruction.encode()] * T)},
             "action": action,
             "action_pad_mask": np.ones((T, self.action_dim), bool),
         }
-        return chunk_act_obs(traj, self.window_size, self.action_horizon)
 
     def frames(self):
         """Infinite stream of per-timestep frames across episodes."""

@@ -1,0 +1,155 @@
+"""tf.data-graph transforms: chunking, gripper relabel, image augmentation.
+
+TF mirrors of the numpy math in data/transforms.py (the numpy versions are
+the spec; tests assert parity). These run on host CPUs inside the input
+pipeline — never on TPU.
+
+Reference parity: traj chunking `src/data/traj_transforms.py:13-103`,
+gripper scans `src/data/utils/data_utils.py:303-402`, seeded augmentation
+`src/data/obs_transforms.py:15-106`.
+"""
+
+from __future__ import annotations
+
+import tensorflow as tf
+
+
+# ---------------------------------------------------------------------------
+# gripper relabeling (tf scans)
+# ---------------------------------------------------------------------------
+
+def binarize_gripper_actions_tf(actions: tf.Tensor, open_thresh=0.95, close_thresh=0.05) -> tf.Tensor:
+    """Continuous [0,1] -> binary, resolving intermediates by scanning
+    backward to the next decisive command."""
+    decisive_open = actions > open_thresh
+    decisive_close = actions < close_thresh
+
+    rev = tf.scan(
+        lambda c, e: tf.where(e[0], 1.0, tf.where(e[1], 0.0, c)),
+        (tf.reverse(decisive_open, [0]), tf.reverse(decisive_close, [0])),
+        initializer=tf.constant(1.0),
+    )
+    return tf.reverse(rev, [0])
+
+
+def invert_gripper_actions_tf(actions: tf.Tensor) -> tf.Tensor:
+    return 1.0 - actions
+
+
+def rel2abs_gripper_actions_tf(actions: tf.Tensor) -> tf.Tensor:
+    """Relative (+1 open / -1 close / 0 hold) -> absolute [0,1] (1=open)."""
+    opening = tf.cast(actions > 0.5, tf.float32)
+    closing = tf.cast(actions < -0.5, tf.float32)
+    command = opening - closing  # +1 / -1 / 0
+
+    carried = tf.scan(
+        lambda c, x: tf.where(x != 0.0, x, c), command, initializer=tf.constant(0.0)
+    )
+    # resolve leading holds with the first known state (default open)
+    known = tf.boolean_mask(carried, carried != 0.0)
+    first_known = tf.cond(
+        tf.size(known) > 0, lambda: known[0], lambda: tf.constant(1.0)
+    )
+    carried = tf.where(carried == 0.0, first_known, carried)
+    return (carried + 1.0) / 2.0
+
+
+# ---------------------------------------------------------------------------
+# trajectory chunking
+# ---------------------------------------------------------------------------
+
+def chunk_act_obs_tf(traj: dict, window_size: int = 1, action_horizon: int = 1) -> dict:
+    """tf mirror of data.transforms.chunk_act_obs (same shapes/semantics)."""
+    traj_len = tf.shape(traj["action"])[0]
+
+    hist_idx = tf.range(traj_len)[:, None] + tf.range(-window_size + 1, 1)
+    timestep_pad_mask = hist_idx >= 0
+    hist_idx = tf.maximum(hist_idx, 0)
+
+    obs = tf.nest.map_structure(lambda x: tf.gather(x, hist_idx), traj["observation"])
+    obs["timestep_pad_mask"] = timestep_pad_mask
+
+    action = traj["action"]
+    if len(action.shape) == 2:
+        chunk_idx = tf.range(traj_len)[:, None] + tf.range(action_horizon)
+        chunk_idx = tf.minimum(chunk_idx, traj_len - 1)
+        action = tf.gather(action, chunk_idx)
+    else:
+        action = action[:, :action_horizon]
+    action = tf.gather(action, hist_idx)  # [T, window, horizon, dim]
+
+    task = traj.get("task", {})
+    goal_timestep = task.get("timestep", tf.fill([traj_len], traj_len - 1))
+
+    t, w, h = tf.meshgrid(
+        tf.range(traj_len), tf.range(window_size), tf.range(action_horizon),
+        indexing="ij",
+    )
+    relative_goal = goal_timestep[:, None, None] - (t - (window_size + 1) + w + h)
+    task_completed = relative_goal <= 0
+    obs["task_completed"] = task_completed
+
+    if "action_pad_mask" in traj:
+        pad = traj["action_pad_mask"]
+        pad = pad[:, None, None, :] if len(pad.shape) == 2 else pad[:, None, :]
+    else:
+        pad = tf.ones(tf.concat([[traj_len], [1, 1], tf.shape(action)[-1:]], 0), tf.bool)
+    action_pad_mask = tf.logical_and(pad, tf.logical_not(task_completed)[:, :, :, None])
+
+    out = dict(traj)
+    out["observation"] = obs
+    out["action"] = tf.cast(action, tf.float32)
+    out["action_pad_mask"] = action_pad_mask
+    return out
+
+
+# ---------------------------------------------------------------------------
+# frame-level image ops
+# ---------------------------------------------------------------------------
+
+def decode_and_resize_tf(image: tf.Tensor, size: tuple[int, int]) -> tf.Tensor:
+    """Bytes or uint8 tensor -> uint8 [H, W, 3] resized (lanczos3, matching
+    the reference's tf resize path)."""
+    if image.dtype == tf.string:
+        image = tf.io.decode_image(image, expand_animations=False, channels=3)
+    if image.shape[-3:-1] != size:
+        image = tf.cast(
+            tf.clip_by_value(
+                tf.image.resize(tf.cast(image, tf.float32), size, method="lanczos3"),
+                0.0, 255.0,
+            ),
+            tf.uint8,
+        )
+    return image
+
+
+def augment_image_tf(image: tf.Tensor, seed: tf.Tensor) -> tf.Tensor:
+    """Stateless (seeded) augmentation recipe the reference trains with
+    (`agent/dataset.py:32-44`): random_resized_crop scale [0.8, 1.0] then
+    brightness/contrast/saturation/hue jitter. uint8 in/out."""
+    shape = tf.shape(image)
+    h, w = shape[-3], shape[-2]
+    seeds = tf.unstack(
+        tf.random.experimental.stateless_split(seed, num=6), num=6
+    )
+
+    # random resized crop
+    scale = tf.random.stateless_uniform([], seeds[0], 0.8, 1.0)
+    ch = tf.cast(tf.cast(h, tf.float32) * tf.sqrt(scale), tf.int32)
+    cw = tf.cast(tf.cast(w, tf.float32) * tf.sqrt(scale), tf.int32)
+    image = tf.image.stateless_random_crop(
+        image, tf.concat([[ch, cw], shape[-1:]], 0), seed=seeds[1]
+    )
+    image = tf.cast(
+        tf.clip_by_value(
+            tf.image.resize(tf.cast(image, tf.float32), (h, w)), 0, 255
+        ),
+        tf.uint8,
+    )
+
+    x = tf.cast(image, tf.float32) / 255.0
+    x = tf.image.stateless_random_brightness(x, 0.1, seeds[2])
+    x = tf.image.stateless_random_contrast(x, 0.9, 1.1, seeds[3])
+    x = tf.image.stateless_random_saturation(x, 0.9, 1.1, seeds[4])
+    x = tf.image.stateless_random_hue(x, 0.05, seeds[5])
+    return tf.cast(tf.clip_by_value(x, 0.0, 1.0) * 255.0, tf.uint8)
