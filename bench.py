@@ -81,17 +81,24 @@ def main() -> int:
             params, key, images, img_masks, lang_tokens, lang_masks, state, cfg, policy
         )
 
+    import numpy as np
+
+    def run(key):
+        # force a host readback: through the tunneled TPU, block_until_ready
+        # can return before execution completes; fetching the result cannot
+        return np.asarray(infer(params, key, images, state))
+
     t0 = time.time()
-    jax.block_until_ready(infer(params, jax.random.key(2), images, state))
+    run(jax.random.key(2))
     print(f"# compile+first {time.time()-t0:.1f}s", file=sys.stderr)
 
     for i in range(args.warmup):
-        jax.block_until_ready(infer(params, jax.random.key(3 + i), images, state))
+        run(jax.random.key(3 + i))
 
     times = []
     for i in range(args.iters):
         t0 = time.time()
-        jax.block_until_ready(infer(params, jax.random.key(100 + i), images, state))
+        run(jax.random.key(100 + i))
         times.append(time.time() - t0)
 
     t_med = sorted(times)[len(times) // 2]
