@@ -1,0 +1,123 @@
+"""MVLA action expert: alternating self-/cross-attention Gemma layers.
+
+Behavior parity with `src/model/mvla/expert.py:128-410` /
+`src/model/mmmvla/expert.py:202-282`: even layers self-attend over the
+suffix (state + noisy action tokens, big_vision block mask, RoPE); odd
+layers cross-attend with Q from the suffix and K/V from the connector's
+prompt embeddings (no RoPE — prompt tokens carry no shared position frame).
+The prompt K/V is computed once per sampling call and cached across Euler
+steps (the reference's dict KV cache becomes stacked arrays threaded
+through lax.scan).
+
+Parameters are stacked per self/cross PAIR so the whole expert is one scan;
+`cfg.depth` must be even under the "self_cross" pattern.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from intact_tpu.models import common as cm
+from intact_tpu.models.common import DEFAULT_POLICY, DtypePolicy
+from intact_tpu.models.gemma import GemmaConfig, _post_attention, _qkv
+from intact_tpu.ops.attention import multi_head_attention
+
+
+def _cross_block_init(key, cfg: GemmaConfig, prompt_dim: int) -> cm.Params:
+    ks = jax.random.split(key, 7)
+    d, m = cfg.width, cfg.mlp_dim
+    qdim = cfg.num_heads * cfg.head_dim
+    kvdim = cfg.num_kv_heads * cfg.head_dim
+    return {
+        "ln1": cm.rmsnorm_init(d),
+        "attn": {
+            "q": cm.dense_init(ks[0], d, qdim, use_bias=False),
+            "k": cm.dense_init(ks[1], prompt_dim, kvdim, use_bias=False),
+            "v": cm.dense_init(ks[2], prompt_dim, kvdim, use_bias=False),
+            "o": cm.dense_init(ks[3], qdim, d, use_bias=False),
+        },
+        "ln2": cm.rmsnorm_init(d),
+        "mlp": {
+            "gate": cm.dense_init(ks[4], d, m, use_bias=False),
+            "up": cm.dense_init(ks[5], d, m, use_bias=False),
+            "down": cm.dense_init(ks[6], m, d, use_bias=False),
+        },
+    }
+
+
+def init(key, cfg: GemmaConfig, prompt_dim: int) -> cm.Params:
+    from intact_tpu.models.gemma import _block_init
+
+    if cfg.depth % 2:
+        raise ValueError("self_cross expert needs an even layer count")
+    n_pairs = cfg.depth // 2
+    k_self, k_cross = jax.random.split(key)
+    return {
+        "pairs": {
+            "self": cm.stack_layer_init(k_self, n_pairs, lambda k: _block_init(k, cfg)),
+            "cross": cm.stack_layer_init(
+                k_cross, n_pairs, lambda k: _cross_block_init(k, cfg, prompt_dim)
+            ),
+        },
+        "final_norm": cm.rmsnorm_init(cfg.width),
+    }
+
+
+def prefill_prompt_kv(params: cm.Params, prompt: jnp.ndarray, cfg: GemmaConfig,
+                      policy: DtypePolicy = DEFAULT_POLICY):
+    """Prompt embeddings -> per-cross-layer K/V: ([Lp, B, P, KVH, hd], ...)."""
+    b, p_len, _ = prompt.shape
+
+    def per_layer(bp):
+        k = cm.dense(bp["attn"]["k"], policy.cast(prompt), policy)
+        v = cm.dense(bp["attn"]["v"], policy.cast(prompt), policy)
+        shape = (b, p_len, cfg.num_kv_heads, cfg.head_dim)
+        return k.reshape(shape), v.reshape(shape)
+
+    return jax.vmap(per_layer)(params["pairs"]["cross"])
+
+
+def forward(
+    params: cm.Params,
+    suffix: jnp.ndarray,  # [B, S, D]
+    suffix_mask: jnp.ndarray,  # bool [B, S, S]
+    positions: jnp.ndarray,  # int [B, S]
+    cfg: GemmaConfig,
+    prompt: jnp.ndarray | None = None,  # [B, P, prompt_dim]
+    prompt_kv=None,  # cached (k, v) from prefill_prompt_kv
+    policy: DtypePolicy = DEFAULT_POLICY,
+    attention_impl: str = "xla",
+) -> jnp.ndarray:
+    """Run the alternating expert; exactly one of prompt / prompt_kv given."""
+    if prompt_kv is None:
+        prompt_kv = prefill_prompt_kv(params, prompt, cfg, policy)
+    ck, cv = prompt_kv
+    b, s, _ = suffix.shape
+    scale = cfg.head_dim**-0.5
+
+    def body(x, inputs):
+        bp_self, bp_cross, k_cached, v_cached = inputs
+
+        # self attention over the suffix (block mask + rope)
+        y = cm.rms_norm(bp_self["ln1"], x, cfg.norm_eps)
+        q, k, v = _qkv(bp_self, y, positions, cfg, policy)
+        att = multi_head_attention(q, k, v, mask=suffix_mask, impl=attention_impl, scale=scale)
+        x = _post_attention(bp_self, x, att, cfg, policy)
+
+        # cross attention into the prompt (no rope, full attention)
+        y = cm.rms_norm(bp_cross["ln1"], x, cfg.norm_eps)
+        q = cm.dense(bp_cross["attn"]["q"], y, policy).reshape(
+            b, s, cfg.num_heads, cfg.head_dim
+        )
+        att = multi_head_attention(
+            q, k_cached.astype(q.dtype), v_cached.astype(q.dtype),
+            mask=None, scale=scale,
+        )
+        x = _post_attention(bp_cross, x, att, cfg, policy)
+        return x, None
+
+    x, _ = jax.lax.scan(
+        body, suffix, (params["pairs"]["self"], params["pairs"]["cross"], ck, cv)
+    )
+    return cm.rms_norm(params["final_norm"], x, cfg.norm_eps)

@@ -29,7 +29,23 @@ def available() -> list[str]:
 
 
 def _register_builtin() -> None:
+    from intact_tpu.models.mvla.config import MVLAConfig
     from intact_tpu.models.pi0.config import Pi0Config
+
+    register(
+        "mvla",
+        config_cls=MVLAConfig,
+        default_config=MVLAConfig,
+        module="intact_tpu.models.mvla.model",
+        policy="intact_tpu.models.pi0.policy.Pi0Policy",
+    )
+    register(
+        "mvla_tiny",
+        config_cls=MVLAConfig,
+        default_config=MVLAConfig.tiny,
+        module="intact_tpu.models.mvla.model",
+        policy="intact_tpu.models.pi0.policy.Pi0Policy",
+    )
 
     register(
         "pi0",

@@ -31,8 +31,10 @@ from intact_tpu.config.pipeline import (
     optimizer_config_from_model_json,
 )
 from intact_tpu.data.dataset import InterleavedDataset
+import importlib
+
 from intact_tpu.models import common as cm
-from intact_tpu.models.pi0 import model as pi0_model
+from intact_tpu.models import registry as model_registry
 from intact_tpu.models.tokenizer import make_tokenizer
 from intact_tpu.parallel import MeshConfig, make_mesh, batch_sharding
 from intact_tpu.train import checkpoint as ckpt
@@ -93,7 +95,9 @@ def preprocess_batch(batch: dict, tokenizer, model_cfg, train: bool = True) -> d
     return out
 
 
-class Pi0Trainer:
+class Trainer:
+    """Model-agnostic flow-matching VLA trainer (pi0 / mvla families)."""
+
     def __init__(self, cfg: TrainPipelineConfig):
         self.cfg = cfg
         self.main_rank = jax.process_index() == 0
@@ -101,6 +105,11 @@ class Pi0Trainer:
         set_seed_everywhere(cfg.seed)
 
         self.model_cfg = cfg.make_model_config()
+        # model module resolved from the registry (pi0 / mvla / ...): must
+        # expose init / compute_loss / sample_actions
+        self.model = importlib.import_module(
+            model_registry.get(cfg.model_type)["module"]
+        )
         self.policy = cm.DtypePolicy(
             param_dtype=jnp.float32,
             compute_dtype=jnp.bfloat16 if cfg.use_bf16 else jnp.float32,
@@ -120,7 +129,7 @@ class Pi0Trainer:
         self.micro_batch_size = cfg.per_device_batch_size * n_batch_devices
 
         params_template = jax.eval_shape(
-            lambda k: pi0_model.init(k, self.model_cfg), jax.random.key(cfg.seed)
+            lambda k: self.model.init(k, self.model_cfg), jax.random.key(cfg.seed)
         )
         frozen_mask = self._freeze_mask(params_template)
         self.tx, self.lr_schedule = make_optimizer(opt_cfg, frozen_mask)
@@ -131,7 +140,7 @@ class Pi0Trainer:
 
         p_shardings = param_shardings(params_template, self.mesh)
         init_fn = jax.jit(
-            lambda k: pi0_model.init(k, self.model_cfg), out_shardings=p_shardings
+            lambda k: self.model.init(k, self.model_cfg), out_shardings=p_shardings
         )
         params = init_fn(jax.random.key(cfg.seed))
 
@@ -143,7 +152,7 @@ class Pi0Trainer:
         self.batch_shard = batch_sharding(self.mesh)
 
         def loss_fn(p, key, batch):
-            return pi0_model.compute_loss(p, key, batch, self.model_cfg, self.policy)
+            return self.model.compute_loss(p, key, batch, self.model_cfg, self.policy)
 
         self.train_step = jit_train_step(
             make_train_step(loss_fn, self.tx, self.policy, remat=cfg.remat),
@@ -151,7 +160,7 @@ class Pi0Trainer:
         )
 
         def sample_fn(p, key, batch):
-            return pi0_model.sample_actions(
+            return self.model.sample_actions(
                 p, key, batch["images"], batch["img_masks"], batch["lang_tokens"],
                 batch["lang_masks"], batch["state"], self.model_cfg, self.policy,
             )
@@ -310,3 +319,7 @@ class Pi0Trainer:
         )
         self.cnt_update = int(aux.get("cnt_update", 0)) if resume_run else 0
         self.logger.info("restored %s (resume=%s, update=%d)", path, resume_run, self.cnt_update)
+
+
+# Backwards-compatible name: the trainer was pi0-only before the registry
+Pi0Trainer = Trainer

@@ -1,0 +1,94 @@
+"""MVLA model tests (tiny config): loss, gradients, sampling, and the
+prompt-KV-cache == direct-prompt consistency invariant."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from intact_tpu.models import common as cm
+from intact_tpu.models.mvla import MVLAConfig, model as mvla
+from intact_tpu.models.mvla import expert as expert_lib
+
+FP32 = cm.DtypePolicy(param_dtype=jnp.float32, compute_dtype=jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return MVLAConfig.tiny()
+
+
+@pytest.fixture(scope="module")
+def params(cfg):
+    return mvla.init(jax.random.key(0), cfg)
+
+
+@pytest.fixture(scope="module")
+def batch(cfg):
+    ks = jax.random.split(jax.random.key(1), 5)
+    b, s = 2, cfg.vision.image_size
+    return {
+        "images": jax.random.uniform(ks[0], (b, 1, s, s, 3), minval=-1, maxval=1),
+        "img_masks": jnp.ones((b, 1), bool),
+        "lang_tokens": jax.random.randint(ks[1], (b, cfg.tokenizer_max_length), 0, 256),
+        "lang_masks": jnp.ones((b, cfg.tokenizer_max_length), bool),
+        "state": jax.random.normal(ks[2], (b, cfg.max_state_dim)),
+        "actions": jax.random.normal(ks[3], (b, cfg.chunk_size, cfg.max_action_dim)),
+    }
+
+
+class TestMVLA:
+    def test_prompt_shape(self, cfg, params, batch):
+        prompt = mvla.compute_prompt(
+            params, batch["images"], batch["img_masks"], batch["lang_tokens"],
+            batch["lang_masks"], cfg, FP32,
+        )
+        assert prompt.shape == (2, cfg.num_metaqueries, cfg.proj_width)
+
+    def test_loss_and_grads(self, cfg, params, batch):
+        loss, aux = mvla.compute_loss(params, jax.random.key(2), batch, cfg, FP32)
+        assert jnp.isfinite(loss)
+
+        grads = jax.grad(
+            lambda p: mvla.compute_loss(p, jax.random.key(2), batch, cfg, FP32)[0]
+        )(params)
+        for name in ["metaquery", "connector", "expert", "vlm", "siglip"]:
+            total = sum(
+                float(jnp.abs(g).sum()) for g in jax.tree.leaves(grads[name])
+            )
+            assert np.isfinite(total) and total > 0, name
+
+    def test_sampling_deterministic(self, cfg, params, batch):
+        fn = jax.jit(
+            lambda k: mvla.sample_actions(
+                params, k, batch["images"], batch["img_masks"], batch["lang_tokens"],
+                batch["lang_masks"], batch["state"], cfg, FP32,
+            )
+        )
+        a1, a2 = fn(jax.random.key(3)), fn(jax.random.key(3))
+        assert a1.shape == (2, cfg.chunk_size, cfg.max_action_dim)
+        np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+
+    def test_prompt_kv_cache_consistency(self, cfg, params, batch):
+        """Cached cross-attention K/V must reproduce the direct-prompt path."""
+        prompt = mvla.compute_prompt(
+            params, batch["images"], batch["img_masks"], batch["lang_tokens"],
+            batch["lang_masks"], cfg, FP32,
+        )
+        x_t = jax.random.normal(jax.random.key(5), (2, cfg.chunk_size, cfg.max_action_dim))
+        time = jnp.full((2,), 0.5)
+
+        v_direct = mvla.predict_velocity(params, prompt, batch["state"], x_t, time, cfg, FP32)
+        kv = expert_lib.prefill_prompt_kv(params["expert"], prompt, cfg.expert, FP32)
+        v_cached = mvla.predict_velocity(
+            params, prompt, batch["state"], x_t, time, cfg, FP32, prompt_kv=kv
+        )
+        np.testing.assert_allclose(
+            np.asarray(v_direct), np.asarray(v_cached), rtol=1e-6, atol=1e-6
+        )
+
+    def test_odd_depth_rejected(self, cfg):
+        from intact_tpu.models.gemma import tiny_test_config
+
+        with pytest.raises(ValueError, match="even layer count"):
+            expert_lib.init(jax.random.key(0), tiny_test_config(width=16, depth=3), 16)
