@@ -169,6 +169,42 @@ class EDREulerSimplerAdapter(EDRSimplerAdapter):
         return np.concatenate([eef[:3], euler, [gripper_closedness]])
 
 
+class OctoBridgeSimplerAdapter(BridgeSimplerAdapter):
+    """Octo-on-bridge: mimics the upstream Octo eval preprocessing
+    (tf lanczos3 resize to 256, reference simpler.py:305-355) and gaussian
+    action denormalization; keeps an image-history-compatible output."""
+
+    def __init__(self, config):
+        super().__init__(config)
+        self.action_normalization_type = "gaussian"
+
+    def preprocess(self, obs: dict) -> dict:
+        try:
+            import tensorflow as tf
+
+            image = tf.cast(
+                tf.clip_by_value(
+                    tf.image.resize(
+                        tf.cast(obs["observation.images.top"], tf.float32),
+                        self.image_size, method="lanczos3",
+                    ),
+                    0, 255,
+                ),
+                tf.uint8,
+            ).numpy()
+        except ImportError:  # cv2 fallback, slightly different kernel
+            image = cv2.resize(
+                obs["observation.images.top"], self.image_size,
+                interpolation=cv2.INTER_LANCZOS4,
+            )
+        image = image.astype(np.float32) / 255.0 * 2.0 - 1.0
+        return {
+            "image": image[None],
+            "state": np.zeros((1, 7), np.float32),  # octo-bridge uses no proprio
+            "task": [obs["task"]],
+        }
+
+
 class ActionEnsembler:
     """Exponentially-weighted ensemble over overlapping action chunks
     (SpatialVLA serving trick, reference simpler.py:492-519)."""

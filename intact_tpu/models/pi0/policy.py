@@ -32,8 +32,12 @@ class Pi0Policy:
         seed: int = 0,
         use_bf16: bool = True,
         sharding=None,
+        model_module=None,
     ):
+        """model_module: any module exposing init/sample_actions with the
+        pi0 signature (pi0 by default; mvla works identically)."""
         self.cfg = cfg
+        self.model = model_module or pi0
         self.policy = (
             cm.SERVING_POLICY if use_bf16 else
             cm.DtypePolicy(param_dtype=jnp.float32, compute_dtype=jnp.float32)
@@ -48,21 +52,14 @@ class Pi0Policy:
         if params is None:
             params = jax.jit(
                 lambda k: jax.tree.map(
-                    lambda x: x.astype(self.policy.param_dtype), pi0.init(k, cfg)
+                    lambda x: x.astype(self.policy.param_dtype), self.model.init(k, cfg)
                 )
             )(jax.random.key(seed))
         self.params = params
 
+        sample_fn = self.model.sample_actions
         self._sample = jax.jit(
-            functools.partial(self._sample_impl, cfg=cfg, policy=self.policy)
-        )
-
-    @staticmethod
-    def _sample_impl(params, key, images, img_masks, lang_tokens, lang_masks,
-                     state, *, cfg, policy):
-        return pi0.sample_actions(
-            params, key, images, img_masks, lang_tokens, lang_masks, state,
-            cfg, policy,
+            functools.partial(sample_fn, cfg=cfg, policy=self.policy)
         )
 
     # ------------------------------------------------------------------

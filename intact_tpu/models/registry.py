@@ -30,7 +30,23 @@ def available() -> list[str]:
 
 def _register_builtin() -> None:
     from intact_tpu.models.mvla.config import MVLAConfig
+    from intact_tpu.models.octo.config import OctoConfig
     from intact_tpu.models.pi0.config import Pi0Config
+
+    register(
+        "octo",
+        config_cls=OctoConfig,
+        default_config=OctoConfig.small,
+        module="intact_tpu.models.octo.model",
+        policy="intact_tpu.serve.policy_wrapper.OctoPolicyWrapper",
+    )
+    register(
+        "octo_tiny",
+        config_cls=OctoConfig,
+        default_config=OctoConfig.tiny,
+        module="intact_tpu.models.octo.model",
+        policy="intact_tpu.serve.policy_wrapper.OctoPolicyWrapper",
+    )
 
     register(
         "mvla",

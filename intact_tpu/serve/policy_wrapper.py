@@ -40,10 +40,19 @@ class Pi0PolicyWrapper(BasePolicyWrapper):
 
     def __init__(self, config, model_cfg=None):
         super().__init__(config)
+        import importlib
+
+        from intact_tpu.models import registry as model_registry
         from intact_tpu.models.pi0.policy import Pi0Policy
 
         self.model_cfg = model_cfg or config.make_model_config()
-        self.policy = Pi0Policy(self.model_cfg, seed=config.seed, use_bf16=config.use_bf16)
+        model_module = importlib.import_module(
+            model_registry.get(config.model_type)["module"]
+        )
+        self.policy = Pi0Policy(
+            self.model_cfg, seed=config.seed, use_bf16=config.use_bf16,
+            model_module=model_module,
+        )
         path = config.eval_cfg.pretrained_model_path
         if path:
             self.policy.load(path)
@@ -83,12 +92,169 @@ class Pi0PolicyWrapper(BasePolicyWrapper):
         ]
 
 
+class OctoPolicyWrapper(BasePolicyWrapper):
+    """Serves the native-JAX Octo (reference policy_wrapper.py:305-371
+    semantics: 2-frame image history deque with timestep pad mask, text task,
+    diffusion-head sampling)."""
+
+    def __init__(self, config, model_cfg=None):
+        super().__init__(config)
+        import functools
+        from collections import deque
+
+        import jax
+        import jax.numpy as jnp
+
+        from intact_tpu.models.octo import model as octo_model
+        from intact_tpu.models.tokenizer import make_tokenizer
+
+        self.model_cfg = model_cfg or config.make_model_config()
+        cfg = self.model_cfg
+        self._jnp, self._jax = jnp, jax
+        self.params = jax.jit(lambda k: octo_model.init(k, cfg))(jax.random.key(config.seed))
+        self.tokenizer = make_tokenizer(None, cfg.max_lang_tokens, vocab_size=cfg.vocab_size)
+        self._history = deque(maxlen=cfg.history)
+        self._rng = jax.random.key(config.seed)
+        self._sample = jax.jit(
+            functools.partial(octo_model.sample_actions, cfg=cfg)
+        )
+        path = config.eval_cfg.pretrained_model_path
+        if path:
+            self.switch_model(path)
+
+    def reset(self):
+        super().reset()
+        self._history.clear()
+
+    def switch_model(self, new_model_path: str) -> None:
+        from intact_tpu.train import checkpoint as ckpt_lib
+
+        self.params = ckpt_lib.restore_params(new_model_path, self.params)
+        self.reset()
+
+    def select_action(self, obs: dict) -> "np.ndarray":
+        jnp, jax = self._jnp, self._jax
+        cfg = self.model_cfg
+        inputs = self.env_adapter.preprocess(obs)
+
+        self._history.append(np.asarray(inputs["image"][0]))
+        frames = list(self._history)
+        n_pad = cfg.history - len(frames)
+        images = np.stack([frames[0]] * n_pad + frames)[None]  # [1, T, H, W, 3]
+        img_masks = np.array([[False] * n_pad + [True] * len(frames)])
+
+        lang_tokens, lang_masks = self.tokenizer(inputs["task"], cfg.max_lang_tokens)
+        self._rng, key = jax.random.split(self._rng)
+        chunk = self._sample(
+            self.params, key, jnp.asarray(images), jnp.asarray(img_masks),
+            jnp.asarray(lang_tokens), jnp.asarray(lang_masks),
+            jnp.asarray(inputs["state"]),
+        )
+        chunk = np.asarray(chunk)[0, : self.action_step]
+        return self.env_adapter.postprocess(chunk)
+
+
+class SpatialVLAPolicyWrapper(BasePolicyWrapper):
+    """SpatialVLA-4B serving scaffold (reference policy_wrapper.py:194-223):
+    requires the upstream HF model (trust_remote_code) which is not part of
+    this framework — the wrapper wires the adapter + chunk-ensembling and
+    fails with a clear error if the model asset is absent."""
+
+    def __init__(self, config):
+        super().__init__(config)
+        path = config.eval_cfg.pretrained_model_path
+        try:
+            from transformers import AutoModel, AutoProcessor
+
+            self.processor = AutoProcessor.from_pretrained(path, trust_remote_code=True)
+            self.model = AutoModel.from_pretrained(path, trust_remote_code=True)
+        except Exception as e:
+            raise RuntimeError(
+                "SpatialVLA serving needs the upstream HF checkpoint "
+                f"(pretrained_model_path={path!r}); see SURVEY.md §2.5"
+            ) from e
+        self.unnorm_key = config.eval_cfg.unnorm_key
+
+    def switch_model(self, new_model_path: str) -> None:
+        from transformers import AutoModel
+
+        self.model = AutoModel.from_pretrained(new_model_path, trust_remote_code=True)
+
+    def select_action(self, obs: dict) -> "np.ndarray":
+        inputs = self.env_adapter.preprocess(obs)
+        hf_inputs = self.processor(
+            images=inputs["image"], text=inputs["task"][0], return_tensors="pt"
+        )
+        out = self.model.predict_action(hf_inputs)
+        actions = self.processor.decode_actions(out, unnorm_key=self.unnorm_key)
+        return self.env_adapter.postprocess(np.asarray(actions)[: self.action_step])
+
+
+class MagmaPolicyWrapper(BasePolicyWrapper):
+    """Magma-8B serving scaffold (reference policy_wrapper.py:226-303):
+    chat-template prompt -> generate -> last 7 action tokens -> 256-bin
+    vocab-offset de-discretization (intact_tpu.serve.decoding) -> quantile
+    unnormalization."""
+
+    N_ACTION_TOKENS = 7
+
+    def __init__(self, config):
+        super().__init__(config)
+        path = config.eval_cfg.pretrained_model_path
+        try:
+            from transformers import AutoModelForCausalLM, AutoProcessor
+
+            self.processor = AutoProcessor.from_pretrained(path, trust_remote_code=True)
+            self.model = AutoModelForCausalLM.from_pretrained(path, trust_remote_code=True)
+        except Exception as e:
+            raise RuntimeError(
+                "Magma serving needs the upstream HF checkpoint "
+                f"(pretrained_model_path={path!r}); see SURVEY.md §2.5"
+            ) from e
+
+    def switch_model(self, new_model_path: str) -> None:
+        from transformers import AutoModelForCausalLM
+
+        self.model = AutoModelForCausalLM.from_pretrained(
+            new_model_path, trust_remote_code=True
+        )
+
+    def select_action(self, obs: dict) -> "np.ndarray":
+        from intact_tpu.serve.decoding import (
+            denormalize_with_quantiles,
+            tokens_to_actions,
+        )
+
+        inputs = self.env_adapter.preprocess(obs)
+        convo = [{"role": "user", "content": f"<image>\nWhat action should the robot take to {inputs['task'][0]}?"}]
+        prompt = self.processor.tokenizer.apply_chat_template(
+            convo, tokenize=False, add_generation_prompt=True
+        )
+        hf_inputs = self.processor(images=inputs["image"], texts=prompt, return_tensors="pt")
+        output_ids = self.model.generate(**hf_inputs, max_new_tokens=1000, use_cache=False)
+        action_ids = np.asarray(output_ids)[0, -(self.N_ACTION_TOKENS + 1):-1]
+        norm = tokens_to_actions(action_ids, vocab_size=len(self.processor.tokenizer))
+        stats = self.env_adapter.dataset_statistics["action"]
+        mask = np.array([True] * 6 + [False])
+        raw = denormalize_with_quantiles(norm, stats["p01"], stats["p99"], mask)
+        return self.env_adapter.postprocess(raw[None])
+
+
 def make_policy_wrapper(config):
     """Model type -> wrapper (reference run.py:24-56 policy_wrapper_map)."""
     mtype = config.model_cfg.get("type", "pi0")
-    if mtype in ("pi0", "pi0_tiny"):
-        return Pi0PolicyWrapper(config)
-    raise ValueError(
-        f"No policy wrapper for model type {mtype!r} yet "
-        f"(available: pi0, pi0_tiny)"
-    )
+    wrappers = {
+        "pi0": Pi0PolicyWrapper,
+        "pi0_tiny": Pi0PolicyWrapper,
+        "mvla": Pi0PolicyWrapper,
+        "mvla_tiny": Pi0PolicyWrapper,
+        "octo": OctoPolicyWrapper,
+        "octo_tiny": OctoPolicyWrapper,
+        "spatialvla": SpatialVLAPolicyWrapper,
+        "magma": MagmaPolicyWrapper,
+    }
+    if mtype not in wrappers:
+        raise ValueError(
+            f"No policy wrapper for model type {mtype!r} (available: {sorted(wrappers)})"
+        )
+    return wrappers[mtype](config)
