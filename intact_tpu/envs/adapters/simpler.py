@@ -46,9 +46,11 @@ class SimplerAdapter(BaseEnvAdapter):
             obs["observation.images.top"], self.image_size,
             interpolation=cv2.INTER_LANCZOS4,
         )
-        # [1, H, W, 3] in [-1, 1] (channels-last: TPU layout)
-        image = image.astype(np.float32) / 255.0 * 2.0 - 1.0
-        image = image[None]
+        # [1, H, W, 3] in [-1, 1] (channels-last: TPU layout); fused native
+        # u8->f32 normalize (intact_tpu.native) with numpy fallback
+        from intact_tpu import native
+
+        image = native.normalize_u8(image)[None]
 
         # "observation.state" carries the raw env obs (nested agent dict)
         raw_proprio = self.preprocess_proprio(obs["observation.state"])
