@@ -1,0 +1,153 @@
+"""Vectorized ManiSkill3 evaluator (reference
+`src/experiments/envs/simplerMS3/simplerMS3_evaluator.py:54-302`):
+`num_envs = n_parallel_eval` simulate in one process, inference is batched
+over the wire ([N, action_step, dim] chunks transposed into a per-step
+deque), videos are written off-thread, and wandb metrics are buffered and
+flushed at the end because the env loop order is inverted to dodge the MS3
+memory leak.
+
+Injectable env/image factories keep the loop testable with a fake batched
+env (no SAPIEN)."""
+
+from __future__ import annotations
+
+import collections
+import os
+import time
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+
+import numpy as np
+
+from intact_tpu.envs.evaluators.base import BaseEvaluator
+from intact_tpu.envs.evaluators.simpler import METRIC_KEYS
+
+# MS2-style task names -> MS3 env ids (reference :54-62)
+MS2_TO_MS3_TASKS = {
+    "widowx_carrot_on_plate": "PutCarrotOnPlateInScene-v1",
+    "widowx_put_eggplant_in_basket": "PutEggplantInBasketScene-v1",
+    "widowx_spoon_on_towel": "PutSpoonOnTableClothInScene-v1",
+    "widowx_stack_cube": "StackGreenCubeOnYellowCubeBakedTexInScene-v1",
+}
+
+
+def _default_env_factory(task_name: str, num_envs: int, seed: int):
+    import gymnasium as gym
+
+    env_id = MS2_TO_MS3_TASKS.get(task_name, task_name)
+    return gym.make(
+        env_id, num_envs=num_envs, obs_mode="rgb+segmentation",
+        sim_backend="auto",
+    )
+
+
+class SimplerMS3Evaluator(BaseEvaluator):
+    def __init__(self, pipeline_cfg, env_factory=None, image_getter=None):
+        super().__init__(pipeline_cfg)
+        self.n_parallel_eval = self.eval_cfg.n_parallel_eval
+        self.env_factory = env_factory or _default_env_factory
+        self.image_getter = image_getter or self._default_image_getter
+        self.results: dict = {}
+        self._video_pool = ThreadPoolExecutor(max_workers=2)
+        self._wandb_buffer: dict = {}
+
+    @staticmethod
+    def _default_image_getter(env, obs):
+        from simpler_env.utils.env.observation_utils import (
+            get_image_from_maniskill3_obs_dict,
+        )
+
+        img = get_image_from_maniskill3_obs_dict(env, obs)
+        return np.asarray(img.cpu().numpy() if hasattr(img, "cpu") else img)
+
+    def evaluate(self):
+        model_root = self.eval_cfg.pretrained_model_path
+        for gradient_step in self.gradient_steps:
+            model_path = (
+                None if self.no_gradient_steps or model_root is None
+                else str(Path(model_root) / f"step_{gradient_step}")
+            )
+            self._initialize_model_client(model_path, gradient_step)
+            for task_name in self.task_lists:
+                self.evaluate_task(task_name)
+        self._video_pool.shutdown(wait=True)
+        return self.results
+
+    def evaluate_task(self, task_name: str):
+        start = time.time()
+        logger = self.main_logger
+        logger.info("Task suite: %s (x%d parallel)", task_name, self.n_parallel_eval)
+        video_dir = self.log_dir / task_name / "videos"
+        os.makedirs(video_dir, exist_ok=True)
+
+        env = self.env_factory(task_name, self.n_parallel_eval, self.seed)
+        metrics = {k: [] for k in METRIC_KEYS}
+        cnt_episode = 0
+
+        while cnt_episode < self.n_eval_episode:
+            seeds = [self.seed + cnt_episode + i for i in range(self.n_parallel_eval)]
+            obs, _ = env.reset(
+                seed=seeds,
+                options={"episode_id": np.asarray(seeds), "reconfigure": True},
+            )
+            instruction = env.unwrapped.get_language_instruction()
+            frames = [self.image_getter(env, obs)]
+            action_plan: collections.deque = collections.deque()
+            truncated = False
+
+            while not truncated:
+                if not action_plan:
+                    element = {
+                        "observation.images.top": frames[-1],
+                        "observation.state": np.asarray(obs["agent"]["eef_pos"]),
+                        "task": instruction,
+                    }
+                    chunk = np.asarray(self.client.infer(element))
+                    # [N, action_step, dim] -> deque of per-step [N, dim]
+                    action_plan.extend(chunk[:, : self.action_step].transpose(1, 0, 2))
+
+                action = action_plan.popleft()
+                obs, reward, terminated, truncated_arr, info = env.step(action)
+                truncated = bool(np.asarray(truncated_arr).any())
+                frames.append(self.image_getter(env, obs))
+
+            stats = info.get("episode_stats", {})
+            success = np.asarray(info.get("success", np.zeros(self.n_parallel_eval, bool)))
+            for i in range(self.n_parallel_eval):
+                metrics["Success Rate"].append(bool(np.asarray(success).reshape(-1)[i]))
+                for name, key in METRIC_KEYS.items():
+                    if name == "Success Rate":
+                        continue
+                    val = stats.get(key, 0)
+                    val = np.asarray(val).reshape(-1)
+                    metrics[name].append(float(val[i]) if val.size > 1 else float(val))
+
+            if self.eval_cfg.recording and cnt_episode < self.n_video:
+                self._video_pool.submit(
+                    self._write_videos, list(frames), video_dir, cnt_episode, success
+                )
+
+            self.client.reset()
+            cnt_episode += self.n_parallel_eval
+
+        aggregated = {k: float(np.mean(v)) if v else 0.0 for k, v in metrics.items()}
+        self._log_summary(logger, cnt_episode, time.time() - start, aggregated)
+        self.results[task_name] = aggregated
+        self._wandb_buffer[task_name] = aggregated["Success Rate"]
+        return aggregated
+
+    @staticmethod
+    def _write_videos(frames, video_dir: Path, episode0: int, success):
+        """frames: list over time of [N, H, W, 3]; one file per env."""
+        arr = np.stack(frames)  # [T, N, H, W, 3]
+        for i in range(arr.shape[1]):
+            ok = bool(np.asarray(success).reshape(-1)[i])
+            path = video_dir / f"video_{episode0 + i}{'_success' if ok else ''}.mp4"
+            try:
+                import imageio
+
+                with imageio.get_writer(path) as w:
+                    for t in range(arr.shape[0]):
+                        w.append_data(arr[t, i])
+            except ImportError:
+                np.savez_compressed(str(path.with_suffix(".npz")), arr[:, i])

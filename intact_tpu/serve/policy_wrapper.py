@@ -67,12 +67,16 @@ class Pi0PolicyWrapper(BasePolicyWrapper):
         self.env_adapter.reset()
 
     def select_action(self, obs: dict) -> np.ndarray:
-        """One client obs -> [action_step, action_dim] env actions."""
+        """One client obs -> [action_step, action_dim] env actions; batched
+        adapters (vectorized ManiSkill3) get [N, action_step, action_dim]."""
         inputs = self.env_adapter.preprocess(obs)
-        chunk = self.policy.sample_action_chunk(inputs)  # [1, chunk, 32]
+        chunk = self.policy.sample_action_chunk(inputs)  # [N, chunk, 32]
         env_dim = len(self.env_adapter.dataset_statistics["action"]["mean"])
-        chunk = chunk[0, : self.action_step, :env_dim]
-        return self.env_adapter.postprocess(chunk)
+        if hasattr(self.env_adapter, "postprocess_batch"):
+            return self.env_adapter.postprocess_batch(
+                chunk[:, : self.action_step, :env_dim]
+            )
+        return self.env_adapter.postprocess(chunk[0, : self.action_step, :env_dim])
 
     def select_action_batch(self, obs_list: list[dict]) -> list[np.ndarray]:
         """Fused inference for the batching server: N client obs -> N action
