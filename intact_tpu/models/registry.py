@@ -33,6 +33,22 @@ def _register_builtin() -> None:
     from intact_tpu.models.octo.config import OctoConfig
     from intact_tpu.models.pi0.config import Pi0Config
 
+    from intact_tpu.models.pi0fast.config import Pi0FASTConfig
+
+    register(
+        "pi0fast",
+        config_cls=Pi0FASTConfig,
+        default_config=Pi0FASTConfig.bridge,
+        module="intact_tpu.models.pi0fast.model",
+        policy="intact_tpu.models.pi0.policy.Pi0Policy",
+    )
+    register(
+        "pi0fast_tiny",
+        config_cls=Pi0FASTConfig,
+        default_config=Pi0FASTConfig.tiny,
+        module="intact_tpu.models.pi0fast.model",
+        policy="intact_tpu.models.pi0.policy.Pi0Policy",
+    )
     register(
         "octo",
         config_cls=OctoConfig,

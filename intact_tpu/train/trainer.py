@@ -73,7 +73,8 @@ def preprocess_batch(batch: dict, tokenizer, model_cfg, train: bool = True) -> d
 
     proprio = batch["observation"]["proprio"][:, -1]  # last history frame
     state = np.zeros((b, model_cfg.max_state_dim), np.float32)
-    state[:, : proprio.shape[-1]] = proprio
+    sd = min(proprio.shape[-1], model_cfg.max_state_dim)
+    state[:, :sd] = proprio[:, :sd]
 
     out = {
         "images": images,
@@ -86,7 +87,8 @@ def preprocess_batch(batch: dict, tokenizer, model_cfg, train: bool = True) -> d
         act = batch["action"][:, -1]  # [B, horizon, dim] (last history frame)
         actions = np.zeros((b, model_cfg.chunk_size, model_cfg.max_action_dim), np.float32)
         h = min(act.shape[1], model_cfg.chunk_size)
-        actions[:, :h, : act.shape[-1]] = act[:, :h]
+        ad = min(act.shape[-1], model_cfg.max_action_dim)
+        actions[:, :h, :ad] = act[:, :h, :ad]
         out["actions"] = actions
         pad = batch.get("action_pad_mask")
         if pad is not None:
