@@ -123,6 +123,19 @@ def decode_and_resize_tf(image: tf.Tensor, size: tuple[int, int]) -> tf.Tensor:
     return image
 
 
+def image_dropout_tf(image: tf.Tensor, seed: tf.Tensor, dropout_prob: float) -> tf.Tensor:
+    """Zero out a whole camera frame with probability dropout_prob
+    (reference obs_transforms.py:52-106 — robustness to missing cameras)."""
+    drop = tf.random.stateless_uniform([], seed) < dropout_prob
+    return tf.cond(drop, lambda: tf.zeros_like(image), lambda: image)
+
+
+def padding_image_tf(size: tuple[int, int]) -> tf.Tensor:
+    """Synthesized all-zero frame for missing cameras
+    (reference obs_transforms.py:107-172)."""
+    return tf.zeros((size[0], size[1], 3), tf.uint8)
+
+
 def augment_image_tf(image: tf.Tensor, seed: tf.Tensor) -> tf.Tensor:
     """Stateless (seeded) augmentation recipe the reference trains with
     (`agent/dataset.py:32-44`): random_resized_crop scale [0.8, 1.0] then

@@ -39,14 +39,20 @@ def save_checkpoint(
     ckpt_root: str | Path,
     state: TrainState,
     aux: dict | None = None,
+    step: int | None = None,
 ) -> Path:
-    """Write step_{n}/{params,opt_state} via Orbax + auxiliary_data.json."""
-    path = step_dir(ckpt_root, int(state.step)).resolve()
+    """Write step_{n}/{params,opt_state} via Orbax + auxiliary_data.json.
+
+    `step` is the GRADIENT-UPDATE count (the reference's step_{n} contract);
+    state.step counts micro-steps when gradient accumulation is on, so
+    callers with accumulation must pass the update count explicitly."""
+    step = int(state.step) if step is None else int(step)
+    path = step_dir(ckpt_root, step).resolve()
     path.mkdir(parents=True, exist_ok=True)
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(path / "params", jax.tree.map(lambda x: x, state.params))
         ckptr.save(path / "opt_state", state.opt_state)
-    auxiliary = {"cnt_update": int(state.step)}
+    auxiliary = {"cnt_update": step, "micro_step": int(state.step)}
     auxiliary.update(aux or {})
     (path / "auxiliary_data.json").write_text(json.dumps(auxiliary, indent=2))
     return path
@@ -122,7 +128,7 @@ def restore_train_state(
     state = TrainState(
         params=params,
         opt_state=opt_state,
-        step=jnp.asarray(aux.get("cnt_update", 0), jnp.int32),
+        step=jnp.asarray(aux.get("micro_step", aux.get("cnt_update", 0)), jnp.int32),
         rng=template_state.rng,
     )
     return state, aux

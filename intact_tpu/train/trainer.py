@@ -104,6 +104,9 @@ class Trainer:
     """Model-agnostic flow-matching VLA trainer (pi0 / mvla families)."""
 
     def __init__(self, cfg: TrainPipelineConfig):
+        from intact_tpu.parallel.distributed import initialize as dist_init
+
+        dist_init()  # idempotent multi-host setup (no-op single process)
         self.cfg = cfg
         self.main_rank = jax.process_index() == 0
         self.logger = setup_logger(self.main_rank, name="trainer")
@@ -203,6 +206,16 @@ class Trainer:
         self.cnt_update = 0
         if cfg.load_from_checkpoint:
             self._load(cfg.load_from_checkpoint, cfg.resume_run)
+
+        from intact_tpu.config.core import to_dict
+        from intact_tpu.utils import wandb_gate
+
+        self.wandb = wandb_gate.init(
+            cfg.use_wandb and self.main_rank, cfg.wandb.project,
+            name=cfg.name, entity=cfg.wandb.entity, run_id=cfg.wandb.run_id,
+            config=to_dict(cfg),
+        )
+        cfg.wandb.run_id = self.wandb.id  # persisted into checkpoints
         log_device_memory("after init", self.logger)
 
     def _freeze_mask(self, params_template):
@@ -251,6 +264,15 @@ class Trainer:
             if not is_update:
                 continue
             self.cnt_update += 1
+
+            # debug profiling: chrome-trace updates 2..4 (reference had no
+            # profiler at all, SURVEY.md §5.1)
+            if cfg.debug and self.main_rank:
+                if self.cnt_update == 2:
+                    jax.profiler.start_trace(str(Path(cfg.log_dir) / "profile"))
+                elif self.cnt_update == 4:
+                    jax.block_until_ready(self.state.params)
+                    jax.profiler.stop_trace()
 
             if self.cnt_update % cfg.log_freq == 0:
                 self._log_training(metric_window, timer)
@@ -302,6 +324,7 @@ class Trainer:
             "update %6d | %s | lr %10.8f | t %5.2fs",
             self.cnt_update, line, lr, timer(),
         )
+        self.wandb.log({**mean, "learning rate": lr}, step=self.cnt_update)
 
     # ------------------------------------------------------------------
     # checkpoints
@@ -313,6 +336,7 @@ class Trainer:
         path = ckpt.save_checkpoint(
             self.ckpt_root, self.state,
             aux={"wandb_id": self.cfg.wandb.run_id, "name": self.cfg.name},
+            step=self.cnt_update,
         )
         self._last_saved_update = self.cnt_update
         self.logger.info("saved checkpoint %s", path)

@@ -1,0 +1,71 @@
+"""Aux subsystem tests: task augmentation, image dropout, wandb gate,
+distributed helpers."""
+
+import numpy as np
+import pytest
+
+from intact_tpu.data.task_augmentation import Rephraser, delete_task_conditioning
+
+
+class TestTaskAugmentation:
+    def test_rephrase_prob_and_determinism(self):
+        table = {"pick the cup": ["grab the cup", "lift the cup"]}
+        r = Rephraser(table, rephrase_prob=1.0, seed=0)
+        out = r.rephrase("pick the cup")
+        assert out in table["pick the cup"]
+        # unknown instruction passes through
+        assert r.rephrase("unknown") == "unknown"
+        # prob 0 never rephrases
+        r0 = Rephraser(table, rephrase_prob=0.0, seed=0)
+        assert r0.rephrase("pick the cup") == "pick the cup"
+
+    def test_rephrase_batch_bytes(self):
+        r = Rephraser({"a": ["b"]}, rephrase_prob=1.0, seed=0)
+        out = r.rephrase_batch([b"a", b"c"])
+        assert out[0] == b"b" and out[1] == b"c"
+
+    def test_tf_rephrase(self):
+        tf = pytest.importorskip("tensorflow")
+        from intact_tpu.data.task_augmentation import rephrase_instruction_tf
+
+        r = Rephraser({"pick the cup": ["grab the cup"]}, rephrase_prob=1.0)
+        table = r.to_tf_table()
+        frame = {"task": {"language_instruction": tf.constant("pick the cup")}}
+        out = rephrase_instruction_tf(frame, table, 1.0, tf.constant([1, 2]))
+        assert out["task"]["language_instruction"].numpy() == b"grab the cup"
+        frame2 = {"task": {"language_instruction": tf.constant("nope")}}
+        out2 = rephrase_instruction_tf(frame2, table, 1.0, tf.constant([1, 2]))
+        assert out2["task"]["language_instruction"].numpy() == b"nope"
+
+    def test_delete_task_conditioning(self):
+        rng = np.random.default_rng(0)
+        out = delete_task_conditioning([b"x"] * 100, keep_prob=0.5, rng=rng)
+        kept = sum(1 for s in out if s == b"x")
+        assert 25 < kept < 75
+
+    def test_image_dropout_tf(self):
+        tf = pytest.importorskip("tensorflow")
+        from intact_tpu.data.tf_transforms import image_dropout_tf
+
+        img = tf.ones((4, 4, 3), tf.uint8) * 7
+        dropped = image_dropout_tf(img, tf.constant([0, 1]), 1.0)
+        assert int(tf.reduce_sum(dropped)) == 0
+        kept = image_dropout_tf(img, tf.constant([0, 1]), 0.0)
+        assert int(tf.reduce_sum(kept)) > 0
+
+
+class TestGates:
+    def test_wandb_noop(self):
+        from intact_tpu.utils.wandb_gate import init
+
+        run = init(enabled=False, project="x")
+        assert run.id
+        run.log({"a": 1}, step=0)
+        run.finish()
+
+    def test_distributed_single_process(self):
+        from intact_tpu.parallel.distributed import initialize, process_mean
+
+        initialize()  # no-op, must not raise
+        out = process_mean({"loss": 1.5})
+        assert out == {"loss": 1.5}
