@@ -35,6 +35,7 @@ def main() -> int:
     ap.add_argument("--warmup", type=int, default=2)
     ap.add_argument("--tiny", action="store_true", help="tiny model (smoke)")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--attention", choices=["xla", "pallas"], default="xla")
     args = ap.parse_args()
 
     import jax
@@ -47,7 +48,10 @@ def main() -> int:
     from intact_tpu.models.common import SERVING_POLICY, DtypePolicy
     from intact_tpu.models.pi0 import Pi0Config, model as pi0
 
+    import dataclasses
+
     cfg = Pi0Config.tiny() if args.tiny else Pi0Config.bridge()
+    cfg = dataclasses.replace(cfg, attention_impl=args.attention)
     policy = (
         DtypePolicy(param_dtype=jnp.float32, compute_dtype=jnp.float32)
         if args.cpu

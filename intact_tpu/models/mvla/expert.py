@@ -46,6 +46,42 @@ def _cross_block_init(key, cfg: GemmaConfig, prompt_dim: int) -> cm.Params:
     }
 
 
+def init_joint(key, cfg: GemmaConfig) -> cm.Params:
+    """Expert for the MMMVLA 'joint' pattern: plain Gemma blocks running over
+    the concatenated [prompt, suffix] stream (reference
+    `src/model/mmmvla/expert.py:202-282` forward_attn_layer_with_prompt)."""
+    from intact_tpu.models import gemma as gemma_lib
+
+    return gemma_lib.init_blocks(key, cfg)
+
+
+def forward_joint(
+    params: cm.Params,
+    suffix: jnp.ndarray,  # [B, S, D]
+    prompt: jnp.ndarray,  # [B, P, D] (same width as the expert)
+    suffix_att: jnp.ndarray,  # int [B, S] big_vision block starts
+    cfg: GemmaConfig,
+    policy: DtypePolicy = DEFAULT_POLICY,
+    attention_impl: str = "xla",
+) -> jnp.ndarray:
+    """Joint pattern via one pass over [prompt | suffix]: prompt tokens form
+    a full-attention block the suffix attends into (Pi0-style)."""
+    from intact_tpu.models import gemma as gemma_lib
+    from intact_tpu.ops.masks import make_att_2d_masks
+
+    b, p_len, _ = prompt.shape
+    s_len = suffix.shape[1]
+    x = jnp.concatenate([policy.cast(prompt), suffix], axis=1)
+
+    pad = jnp.ones((b, p_len + s_len), bool)
+    att = jnp.concatenate([jnp.zeros((b, p_len), jnp.int32), suffix_att], axis=1)
+    mask = make_att_2d_masks(pad, att)
+    pos = jnp.broadcast_to(jnp.arange(p_len + s_len)[None], (b, p_len + s_len))
+
+    out, _ = gemma_lib.prefill(params, x, mask, pos, cfg, policy, attention_impl)
+    return out[:, p_len:]
+
+
 def init(key, cfg: GemmaConfig, prompt_dim: int) -> cm.Params:
     from intact_tpu.models.gemma import _block_init
 

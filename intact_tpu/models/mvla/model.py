@@ -31,6 +31,11 @@ from intact_tpu.ops.masks import make_att_2d_masks
 def init(key, cfg: MVLAConfig) -> cm.Params:
     ks = jax.random.split(key, 12)
     pw = cfg.proj_width
+    expert_params = (
+        expert_lib.init_joint(ks[6], cfg.expert)
+        if cfg.alternate_pattern == "joint"
+        else expert_lib.init(ks[6], cfg.expert, prompt_dim=pw)
+    )
     return {
         "siglip": siglip.init(ks[0], cfg.vision),
         "img_proj": cm.dense_init(ks[1], cfg.vision.width, cfg.vlm.width),
@@ -40,7 +45,7 @@ def init(key, cfg: MVLAConfig) -> cm.Params:
             ks[4], (1, cfg.num_metaqueries, cfg.vlm.width), jnp.float32
         ) * 0.02,
         "connector": connector_lib.init(ks[5], cfg.connector, cfg.vlm.width, pw),
-        "expert": expert_lib.init(ks[6], cfg.expert, prompt_dim=pw),
+        "expert": expert_params,
         "state_proj": cm.dense_init(ks[7], cfg.max_state_dim, pw),
         "action_in_proj": cm.dense_init(ks[8], cfg.max_action_dim, pw),
         "time_mlp_in": cm.dense_init(ks[9], 2 * pw, pw),
@@ -94,12 +99,19 @@ def predict_velocity(params, prompt, state, x_t, time, cfg: MVLAConfig,
                      policy: DtypePolicy = DEFAULT_POLICY,
                      prompt_kv=None) -> jnp.ndarray:
     suf_embs, suf_pad, suf_att = pi0.embed_suffix(params, state, x_t, time, cfg, policy)
-    mask, positions = _suffix_masks(suf_pad, suf_att)
-    out = expert_lib.forward(
-        params["expert"], suf_embs, mask, positions, cfg.expert,
-        prompt=prompt, prompt_kv=prompt_kv, policy=policy,
-        attention_impl=cfg.attention_impl,
-    )
+    if cfg.alternate_pattern == "joint":
+        # MMMVLA variant: one stream over [prompt | suffix]
+        out = expert_lib.forward_joint(
+            params["expert"], suf_embs, prompt, suf_att, cfg.expert,
+            policy=policy, attention_impl=cfg.attention_impl,
+        )
+    else:
+        mask, positions = _suffix_masks(suf_pad, suf_att)
+        out = expert_lib.forward(
+            params["expert"], suf_embs, mask, positions, cfg.expert,
+            prompt=prompt, prompt_kv=prompt_kv, policy=policy,
+            attention_impl=cfg.attention_impl,
+        )
     out = out[:, -cfg.chunk_size:].astype(jnp.float32)
     fp32 = DtypePolicy(param_dtype=jnp.float32, compute_dtype=jnp.float32)
     return cm.dense(params["action_out_proj"], out, fp32)
@@ -141,7 +153,10 @@ def sample_actions(params, key, images, img_masks, lang_tokens, lang_masks, stat
         noise = pi0.sample_noise(key, (b, cfg.chunk_size, cfg.max_action_dim))
 
     prompt = compute_prompt(params, images, img_masks, lang_tokens, lang_masks, cfg, policy)
-    prompt_kv = expert_lib.prefill_prompt_kv(params["expert"], prompt, cfg.expert, policy)
+    prompt_kv = (
+        None if cfg.alternate_pattern == "joint"
+        else expert_lib.prefill_prompt_kv(params["expert"], prompt, cfg.expert, policy)
+    )
 
     dt = -1.0 / cfg.num_steps
 

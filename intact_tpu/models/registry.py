@@ -71,6 +71,22 @@ def _register_builtin() -> None:
         module="intact_tpu.models.mvla.model",
         policy="intact_tpu.models.pi0.policy.Pi0Policy",
     )
+    import dataclasses as _dc
+
+    register(
+        "mmmvla",
+        config_cls=MVLAConfig,
+        default_config=lambda: _dc.replace(MVLAConfig(), alternate_pattern="joint"),
+        module="intact_tpu.models.mvla.model",
+        policy="intact_tpu.models.pi0.policy.Pi0Policy",
+    )
+    register(
+        "mmmvla_tiny",
+        config_cls=MVLAConfig,
+        default_config=lambda: _dc.replace(MVLAConfig.tiny(), alternate_pattern="joint"),
+        module="intact_tpu.models.mvla.model",
+        policy="intact_tpu.models.pi0.policy.Pi0Policy",
+    )
     register(
         "mvla_tiny",
         config_cls=MVLAConfig,

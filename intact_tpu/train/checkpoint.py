@@ -51,7 +51,8 @@ def save_checkpoint(
     path.mkdir(parents=True, exist_ok=True)
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(path / "params", jax.tree.map(lambda x: x, state.params))
-        ckptr.save(path / "opt_state", state.opt_state)
+        if jax.tree.leaves(state.opt_state):  # params-only imports have none
+            ckptr.save(path / "opt_state", state.opt_state)
     auxiliary = {"cnt_update": step, "micro_step": int(state.step)}
     auxiliary.update(aux or {})
     (path / "auxiliary_data.json").write_text(json.dumps(auxiliary, indent=2))
@@ -67,15 +68,22 @@ def restore_params(ckpt_path: str | Path, template_params, shardings=None):
         if not steps:
             raise FileNotFoundError(f"no checkpoint under {path}")
         path = step_dir(path, steps[-1])
-    target = template_params
     if shardings is not None:
         target = jax.tree.map(
             lambda t, s: jax.ShapeDtypeStruct(t.shape, t.dtype, sharding=s),
             template_params, shardings,
         )
     else:
+        # default to device-0 placement so checkpoints restore across
+        # topologies (e.g. saved on TPU, reloaded on CPU)
+        from jax.sharding import SingleDeviceSharding
+
+        dev = jax.local_devices()[0]
         target = jax.tree.map(
-            lambda t: jax.ShapeDtypeStruct(t.shape, t.dtype), template_params
+            lambda t: jax.ShapeDtypeStruct(
+                t.shape, t.dtype, sharding=SingleDeviceSharding(dev)
+            ),
+            template_params,
         )
     with ocp.StandardCheckpointer() as ckptr:
         return ckptr.restore(path / "params", target)

@@ -92,3 +92,24 @@ class TestMVLA:
 
         with pytest.raises(ValueError, match="even layer count"):
             expert_lib.init(jax.random.key(0), tiny_test_config(width=16, depth=3), 16)
+
+
+class TestMMMVLA:
+    """The joint-attention expert variant (MMMVLA)."""
+
+    def test_joint_pattern_loss_and_sampling(self, batch):
+        import dataclasses
+
+        cfg = dataclasses.replace(MVLAConfig.tiny(), alternate_pattern="joint")
+        params = mvla.init(jax.random.key(0), cfg)
+        assert "pairs" not in params["expert"]  # plain gemma blocks
+
+        loss, _ = mvla.compute_loss(params, jax.random.key(2), batch, cfg, FP32)
+        assert jnp.isfinite(loss)
+
+        acts = mvla.sample_actions(
+            params, jax.random.key(3), batch["images"], batch["img_masks"],
+            batch["lang_tokens"], batch["lang_masks"], batch["state"], cfg, FP32,
+        )
+        assert acts.shape == (2, cfg.chunk_size, cfg.max_action_dim)
+        assert jnp.isfinite(acts).all()
