@@ -36,6 +36,8 @@ def main() -> int:
     ap.add_argument("--tiny", action="store_true", help="tiny model (smoke)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--attention", choices=["xla", "pallas"], default="xla")
+    ap.add_argument("--int8", action="store_true",
+                    help="W8A8 dynamic-quant serving (block matmuls on the int8 MXU)")
     args = ap.parse_args()
 
     import jax
@@ -63,9 +65,15 @@ def main() -> int:
           file=sys.stderr)
 
     t0 = time.time()
-    params = jax.jit(
-        lambda k: jax.tree.map(lambda x: x.astype(policy.param_dtype), pi0.init(k, cfg))
-    )(jax.random.key(0))
+    init_fn = lambda k: jax.tree.map(  # noqa: E731
+        lambda x: x.astype(policy.param_dtype), pi0.init(k, cfg)
+    )
+    if args.int8:
+        from intact_tpu.models.common import quantize_params
+
+        params = jax.jit(lambda k: quantize_params(init_fn(k)))(jax.random.key(0))
+    else:
+        params = jax.jit(init_fn)(jax.random.key(0))
     jax.block_until_ready(params)
     print(f"# init {time.time()-t0:.1f}s", file=sys.stderr)
 

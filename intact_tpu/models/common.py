@@ -64,11 +64,67 @@ def layernorm_init(dim: int, dtype=jnp.float32) -> Params:
 # ---------------------------------------------------------------------------
 
 def dense(p: Params, x: jnp.ndarray, policy: DtypePolicy = DEFAULT_POLICY) -> jnp.ndarray:
+    if "kernel_q" in p:
+        return _dense_int8(p, x, policy)
     kernel = p["kernel"].astype(policy.compute_dtype)
     y = jnp.dot(x.astype(policy.compute_dtype), kernel)
     if "bias" in p:
         y = y + p["bias"].astype(policy.compute_dtype)
     return y
+
+
+def _dense_int8(p: Params, x: jnp.ndarray, policy: DtypePolicy) -> jnp.ndarray:
+    """W8A8 dynamic-quant matmul: int8 weights (per-output-channel scales)
+    x int8 activations (per-token scales) on the int8 MXU (~2x bf16 on v5e),
+    rescaled to compute dtype. Serving-only path (see quantize_dense)."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    x_scale = jnp.maximum(amax, 1e-6) / 127.0
+    xq = jnp.round(x.astype(jnp.float32) / x_scale).astype(jnp.int8)
+    yq = jax.lax.dot_general(
+        xq, p["kernel_q"],
+        dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = yq.astype(jnp.float32) * x_scale * p["kernel_scale"].astype(jnp.float32)
+    if "bias" in p:
+        y = y + p["bias"].astype(jnp.float32)
+    return y.astype(policy.compute_dtype)
+
+
+def quantize_dense(p: Params) -> Params:
+    """fp kernel [..., in, out] -> int8 kernel + per-output-channel scale
+    (leading stacked-layer axes keep per-(layer, out) scales)."""
+    kernel = jnp.asarray(p["kernel"], jnp.float32)
+    scale = jnp.max(jnp.abs(kernel), axis=-2, keepdims=True) / 127.0  # [..., 1, out]
+    scale = jnp.maximum(scale, 1e-12)
+    kq = jnp.round(kernel / scale).astype(jnp.int8)
+    out = {"kernel_q": kq, "kernel_scale": jnp.squeeze(scale, axis=-2)}
+    if "bias" in p:
+        out["bias"] = p["bias"]
+    return out
+
+
+def quantize_params(params: Params, path_filter=None) -> Params:
+    """Quantize the FLOP-heavy kernels (transformer block matmuls) to int8.
+
+    path_filter(path_str) -> bool selects which dense params quantize;
+    default: every kernel under a "blocks" subtree plus the multimodal
+    projector — heads/embeddings/norms stay fp.
+    """
+    import re
+
+    default = re.compile(r".*(blocks/(attn|mlp)/[a-z0-9_]+|img_proj)$")
+
+    def walk(node, path=""):
+        if isinstance(node, dict):
+            if "kernel" in node and (
+                path_filter(path) if path_filter else default.match(path)
+            ):
+                return quantize_dense(node)
+            return {k: walk(v, f"{path}/{k}" if path else k) for k, v in node.items()}
+        return node
+
+    return walk(params)
 
 
 def embed_lookup(p: Params, ids: jnp.ndarray, policy: DtypePolicy = DEFAULT_POLICY) -> jnp.ndarray:

@@ -33,11 +33,14 @@ class Pi0Policy:
         use_bf16: bool = True,
         sharding=None,
         model_module=None,
+        quantize: bool = False,
     ):
         """model_module: any module exposing init/sample_actions with the
-        pi0 signature (pi0 by default; mvla works identically)."""
+        pi0 signature (pi0 by default; mvla works identically).
+        quantize: int8 W8A8 serving for the transformer-block matmuls."""
         self.cfg = cfg
         self.model = model_module or pi0
+        self._quantize = quantize
         self.policy = (
             cm.SERVING_POLICY if use_bf16 else
             cm.DtypePolicy(param_dtype=jnp.float32, compute_dtype=jnp.float32)
@@ -55,6 +58,8 @@ class Pi0Policy:
                     lambda x: x.astype(self.policy.param_dtype), self.model.init(k, cfg)
                 )
             )(jax.random.key(seed))
+        if quantize:
+            params = jax.jit(cm.quantize_params)(params)
         self.params = params
 
         sample_fn = self.model.sample_actions
@@ -77,10 +82,17 @@ class Pi0Policy:
         Unlike the reference's del-model/gc/empty-cache dance
         (policy_wrapper.py:61-67), restore writes into fresh device buffers
         and the old params are dropped atomically."""
-        restored = ckpt_lib.restore_params(path, self.params, self._sharding)
-        self.params = jax.tree.map(
-            lambda x: x.astype(self.policy.param_dtype), restored
-        )
+        template = self.params
+        if self._quantize:
+            # checkpoints store fp params; restore against an fp template
+            template = jax.eval_shape(
+                lambda k: self.model.init(k, self.cfg), jax.random.key(0)
+            )
+        restored = ckpt_lib.restore_params(path, template, self._sharding)
+        params = jax.tree.map(lambda x: x.astype(self.policy.param_dtype), restored)
+        if self._quantize:
+            params = jax.jit(cm.quantize_params)(params)
+        self.params = params
         self.reset()
 
     # ------------------------------------------------------------------

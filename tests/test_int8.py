@@ -1,0 +1,69 @@
+"""int8 W8A8 serving path: quantized dense correctness and end-to-end
+closeness of quantized Pi0 sampling to the fp path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from intact_tpu.models import common as cm
+from intact_tpu.models.pi0 import Pi0Config, model as pi0
+
+FP32 = cm.DtypePolicy(param_dtype=jnp.float32, compute_dtype=jnp.float32)
+
+
+class TestInt8Dense:
+    def test_quantized_dense_close_to_fp(self):
+        k = jax.random.key(0)
+        p = cm.dense_init(k, 64, 32)
+        x = jax.random.normal(jax.random.key(1), (4, 64))
+        ref = cm.dense(p, x, FP32)
+        q = cm.quantize_dense(p)
+        out = cm.dense(q, x, FP32)
+        err = float(jnp.abs(out - ref).max()) / (float(jnp.abs(ref).max()) + 1e-9)
+        assert err < 0.05, err
+        assert q["kernel_q"].dtype == jnp.int8
+
+    def test_stacked_kernel_scales(self):
+        p = {"kernel": jax.random.normal(jax.random.key(0), (3, 16, 8))}
+        q = cm.quantize_dense(p)
+        assert q["kernel_q"].shape == (3, 16, 8)
+        assert q["kernel_scale"].shape == (3, 8)
+
+    def test_quantize_params_selects_blocks_only(self):
+        cfg = Pi0Config.tiny()
+        params = pi0.init(jax.random.key(0), cfg)
+        qp = cm.quantize_params(params)
+        # block matmuls quantized
+        assert "kernel_q" in qp["vlm"]["blocks"]["attn"]["q"]
+        assert "kernel_q" in qp["siglip"]["blocks"]["mlp"]["fc1"]
+        assert "kernel_q" in qp["img_proj"]
+        # heads / embeddings / patch embed stay fp
+        assert "kernel" in qp["action_out_proj"]
+        assert "kernel" in qp["state_proj"]
+        assert "embedding" in qp["vlm_embed"]
+        assert "kernel" in qp["siglip"]["patch_embed"]
+
+    def test_int8_sampling_close_to_fp(self):
+        cfg = Pi0Config.tiny()
+        params = pi0.init(jax.random.key(0), cfg)
+        qp = cm.quantize_params(params)
+
+        ks = jax.random.split(jax.random.key(1), 4)
+        s = cfg.vision.image_size
+        args = dict(
+            images=jax.random.uniform(ks[0], (2, 1, s, s, 3), minval=-1, maxval=1),
+            img_masks=jnp.ones((2, 1), bool),
+            lang_tokens=jax.random.randint(ks[1], (2, cfg.tokenizer_max_length), 0, 255),
+            lang_masks=jnp.ones((2, cfg.tokenizer_max_length), bool),
+            state=jax.random.normal(ks[2], (2, cfg.max_state_dim)),
+        )
+        noise = jax.random.normal(ks[3], (2, cfg.chunk_size, cfg.max_action_dim))
+        a_fp = pi0.sample_actions(params, jax.random.key(9), **args, cfg=cfg,
+                                  policy=FP32, noise=noise)
+        a_q = pi0.sample_actions(qp, jax.random.key(9), **args, cfg=cfg,
+                                 policy=FP32, noise=noise)
+        # quantization noise accumulates over layers + 3 Euler steps; demand
+        # closeness, not equality
+        err = float(jnp.abs(a_fp - a_q).max())
+        assert err < 0.35, err
+        assert jnp.isfinite(a_q).all()
