@@ -94,6 +94,7 @@ class BaseEvaluator:
             True,
             filename=None if self.debug else str(self.log_dir / "eval.log"),
             name=f"evaluator.step_{gradient_step}",
+            force=True,  # one process may sweep many checkpoints/log dirs
         )
         self.main_logger.info("Model path: %s. Step: %s", model_path, gradient_step)
 

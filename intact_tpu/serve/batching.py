@@ -89,6 +89,8 @@ class BatchingPolicyServer:
     async def _batch_worker(self):
         """Collect requests into batches and run the device once per batch."""
         loop = asyncio.get_running_loop()
+        n_batches = 0
+        n_requests = 0
         while True:
             first = await self._queue.get()
             batch = [first]
@@ -101,6 +103,13 @@ class BatchingPolicyServer:
                     batch.append(await asyncio.wait_for(self._queue.get(), remaining))
                 except asyncio.TimeoutError:
                     break
+            n_batches += 1
+            n_requests += len(batch)
+            if n_batches % 50 == 0:
+                self.logger.info(
+                    "batching: %d batches, mean fused size %.1f",
+                    n_batches, n_requests / n_batches,
+                )
             try:
                 results = await loop.run_in_executor(None, self._infer_batch, batch)
                 for req, res in zip(batch, results):

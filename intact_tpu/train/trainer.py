@@ -304,13 +304,19 @@ class Trainer:
                 get_action_accuracy(jnp.asarray(gt), pred, cfg.eval_thresholds)))
             l1s.append(float(l1_error(jnp.asarray(gt), pred)))
         accs = np.mean(accs, axis=0)
+        metrics = {"l1_loss": float(np.mean(l1s)),
+                   **{f"acc@{t}": float(a) for t, a in zip(cfg.eval_thresholds, accs)}}
+        # cross-host mean (reference all-reduces eval metrics, trainer.py:525-538)
+        from intact_tpu.parallel.distributed import process_mean
+
+        metrics = process_mean(metrics)
         self.logger.info(
-            "val @ update %d | l1 %.4f | %s",
-            self.cnt_update, float(np.mean(l1s)),
-            " ".join(f"acc@{t} {a:.3f}" for t, a in zip(cfg.eval_thresholds, accs)),
+            "val @ update %d | %s",
+            self.cnt_update,
+            " | ".join(f"{k} {v:.4f}" for k, v in metrics.items()),
         )
-        return {"l1_loss": float(np.mean(l1s)),
-                **{f"acc@{t}": float(a) for t, a in zip(cfg.eval_thresholds, accs)}}
+        self.wandb.log(metrics, step=self.cnt_update)
+        return metrics
 
     def _log_training(self, window: list[dict], timer: Timer):
         mean = {

@@ -31,8 +31,13 @@ def setup_logger(
     filename: str | None = None,
     name: str = "intact_tpu",
     level: int = logging.INFO,
+    force: bool = False,
 ) -> logging.Logger:
-    """Per-name logger; non-main ranks get a silent logger."""
+    """Per-name logger; non-main ranks get a silent logger.
+
+    force=True replaces existing handlers — required when the same logger
+    name must switch output files (e.g. one evaluator process sweeping
+    checkpoints writes a fresh eval.log per step)."""
     logger = logging.getLogger(name)
     logger.setLevel(level)
     if not main_rank:
@@ -40,7 +45,11 @@ def setup_logger(
         logger.propagate = False
         return logger
     if logger.handlers:
-        return logger
+        if not force:
+            return logger
+        for h in list(logger.handlers):
+            logger.removeHandler(h)
+            h.close()
     handler = (
         logging.FileHandler(filename) if filename else logging.StreamHandler(sys.stdout)
     )
