@@ -252,11 +252,26 @@ class TrainPipelineConfig:
         entry = registry.get(mtype)
         if mtype == "pi0":
             return pi0_config_from_json(self.model_cfg)
+        if mtype in ("pi0fast", "mvla", "mmmvla"):
+            return _replace_common_fields(entry["default_config"](), self.model_cfg)
         return entry["default_config"]()
 
     @property
     def model_type(self) -> str:
         return self.model_cfg.get("type", "pi0")
+
+
+def _replace_common_fields(base, d: dict):
+    """Overlay the model-JSON fields every family shares onto a config."""
+    common = [
+        "chunk_size", "n_action_steps", "max_state_dim", "max_action_dim",
+        "tokenizer_max_length", "num_steps", "num_metaqueries", "n_action_bins",
+    ]
+    updates = {
+        k: type(getattr(base, k))(d[k]) for k in common
+        if k in d and hasattr(base, k)
+    }
+    return dataclasses.replace(base, **updates) if updates else base
 
 
 def pi0_config_from_json(d: dict):
