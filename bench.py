@@ -27,6 +27,99 @@ import time
 
 PER_CHIP_BASELINE_STEPS_PER_SEC = 1000.0 / 8.0  # BASELINE.md v5e-8 target
 
+# Reference fine-tune envelope (BASELINE.md): 22,705 updates of global batch
+# 1024 within 44 h on 4x A100/H100 => >= 147 samples/s on 4 GPUs
+PER_DEVICE_BASELINE_TRAIN_SAMPLES_PER_SEC = 22_705 * 1024 / (44 * 3600) / 4
+
+
+def bench_train(args) -> int:
+    """Training-step throughput: Pi0 bridge, expert-only fine-tune
+    (train_expert_only — frozen 3B VLM in bf16, fp32 Adam on the ~300M
+    expert + heads), remat on, one chip."""
+    import dataclasses
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+
+    from intact_tpu.models import common as cm
+    from intact_tpu.models.pi0 import Pi0Config, model as pi0
+    from intact_tpu.train.optim import OptimizerConfig, make_optimizer
+    from intact_tpu.train.train_step import init_train_state, make_train_step
+
+    cfg = Pi0Config.tiny() if args.tiny else Pi0Config.bridge()
+    cfg = dataclasses.replace(cfg, train_expert_only=True)
+    policy = cm.DtypePolicy(
+        param_dtype=jnp.bfloat16 if not args.cpu else jnp.float32,
+        compute_dtype=jnp.bfloat16 if not args.cpu else jnp.float32,
+    )
+    b = args.batch
+    print(f"# train mode: device={jax.devices()[0]} batch={b}", file=sys.stderr)
+
+    t0 = time.time()
+    params = jax.jit(
+        lambda k: jax.tree.map(lambda x: x.astype(policy.param_dtype), pi0.init(k, cfg))
+    )(jax.random.key(0))
+    jax.block_until_ready(params)
+
+    trainable = jax.tree.map(lambda _: False, params)
+    for name in ["expert", "state_proj", "action_in_proj", "time_mlp_in",
+                 "time_mlp_out", "action_out_proj"]:
+        trainable[name] = jax.tree.map(lambda _: True, trainable[name])
+    tx, _ = make_optimizer(
+        OptimizerConfig(lr=5e-5, warmup_steps=10, first_cycle_steps=10_000),
+        frozen_mask=trainable,
+    )
+
+    def loss_fn(p, key, batch):
+        return pi0.compute_loss(p, key, batch, cfg, policy)
+
+    state = init_train_state(params, tx, seed=0)
+    step = jax.jit(make_train_step(loss_fn, tx, policy, remat=True),
+                   donate_argnums=(0,))
+    print(f"# init {time.time()-t0:.1f}s", file=sys.stderr)
+
+    ks = jax.random.split(jax.random.key(1), 4)
+    s = cfg.vision.image_size
+    batch = {
+        "images": jax.random.uniform(ks[0], (b, cfg.num_cameras, s, s, 3),
+                                     minval=-1, maxval=1, dtype=jnp.float32),
+        "img_masks": jnp.ones((b, cfg.num_cameras), bool),
+        "lang_tokens": jax.random.randint(ks[1], (b, cfg.tokenizer_max_length), 0, 255),
+        "lang_masks": jnp.ones((b, cfg.tokenizer_max_length), bool),
+        "state": jax.random.normal(ks[2], (b, cfg.max_state_dim)),
+        "actions": jax.random.normal(ks[3], (b, cfg.chunk_size, cfg.max_action_dim)),
+    }
+
+    import numpy as np
+
+    t0 = time.time()
+    state, metrics = step(state, batch)
+    print(f"# compile+first {time.time()-t0:.1f}s (loss {float(metrics['l2_loss']):.3f})",
+          file=sys.stderr)
+
+    times = []
+    for _ in range(args.warmup + args.iters):
+        t0 = time.time()
+        state, metrics = step(state, batch)
+        np.asarray(metrics["l2_loss"])  # host readback = real sync
+        times.append(time.time() - t0)
+    times = times[args.warmup:]
+    t_med = sorted(times)[len(times) // 2]
+    samples_per_sec = b / t_med
+    print(f"# median step {t_med*1e3:.1f} ms -> {samples_per_sec:.1f} samples/s",
+          file=sys.stderr)
+    print(json.dumps({
+        "metric": "pi0_train_samples_per_sec_per_chip",
+        "value": round(samples_per_sec, 2),
+        "unit": "samples/s",
+        "vs_baseline": round(samples_per_sec / PER_DEVICE_BASELINE_TRAIN_SAMPLES_PER_SEC, 3),
+    }))
+    return 0
+
 
 def main() -> int:
     ap = argparse.ArgumentParser()
@@ -38,7 +131,11 @@ def main() -> int:
     ap.add_argument("--attention", choices=["xla", "pallas"], default="xla")
     ap.add_argument("--int8", action="store_true",
                     help="W8A8 dynamic-quant serving (block matmuls on the int8 MXU)")
+    ap.add_argument("--mode", choices=["serve", "train"], default="serve",
+                    help="train: expert-only fine-tune step throughput")
     args = ap.parse_args()
+    if args.mode == "train":
+        return bench_train(args)
 
     import jax
 

@@ -142,6 +142,7 @@ def forward_joint(
     pos_pre, pos_suf = positions[:, :p_len], positions[:, p_len:]
     scale = vlm_cfg.head_dim**-0.5
 
+    @jax.checkpoint  # per-layer remat: backward recomputes one layer at a time
     def body(carry, bps):
         xp, xs = carry
         bp_v, bp_e = bps
@@ -181,6 +182,7 @@ def prefill(
     """
     scale = cfg.head_dim**-0.5
 
+    @jax.checkpoint  # per-layer remat (free in forward-only inference)
     def body(x, bp):
         y = cm.rms_norm(bp["ln1"], x, cfg.norm_eps)
         q, k, v = _qkv(bp, y, positions, cfg, policy)

@@ -132,6 +132,7 @@ def encode(
     x = jnp.dot(x, kernel) + policy.cast(params["patch_embed"]["bias"])
     x = x + policy.cast(params["pos_embed"])
 
+    @jax.checkpoint  # per-layer remat
     def body(carry, bp):
         return _block_apply(cfg, policy, carry, bp), None
 
