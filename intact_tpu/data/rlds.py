@@ -318,6 +318,9 @@ def make_interleaved_dataset(
     ds = apply_frame_transforms(
         ds, train=train, resize_size=resize_size, augment_seed=seed
     )
+    # corrupt frames are logged and skipped instead of killing the epoch
+    # (reference rlds_dataset.py:608 dataset.ignore_errors)
+    ds = ds.ignore_errors(log_warning=True)
     if batch_size is not None:
         ds = ds.batch(batch_size, drop_remainder=True)
     ds = ds.with_options(_options())
