@@ -24,19 +24,33 @@ _initialized = [False]
 
 
 def initialize() -> None:
-    """Idempotent jax.distributed.initialize with env-var fallback."""
-    if _initialized[0] or jax.process_count() > 1:
-        _initialized[0] = True
+    """Idempotent jax.distributed.initialize with env-var fallback.
+
+    Ordering matters: jax.distributed.initialize() must run BEFORE any call
+    that touches the local XLA backend (jax.devices / jax.process_count /
+    first trace), so the guard here is purely the module flag — we never
+    query jax before the init attempt.
+    """
+    if _initialized[0]:
         return
     coord = os.environ.get("COORDINATOR_ADDRESS")
     if coord:
-        jax.distributed.initialize(
-            coordinator_address=coord,
-            num_processes=int(os.environ["NUM_PROCESSES"]),
-            process_id=int(os.environ["PROCESS_ID"]),
-        )
+        try:
+            jax.distributed.initialize(
+                coordinator_address=coord,
+                num_processes=int(os.environ["NUM_PROCESSES"]),
+                process_id=int(os.environ["PROCESS_ID"]),
+            )
+        except RuntimeError as e:  # already initialized elsewhere
+            log.warning("jax.distributed.initialize: %r (continuing)", e)
         log.info("jax.distributed: process %d/%d", jax.process_index(), jax.process_count())
-    elif os.environ.get("TPU_WORKER_HOSTNAMES") or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"):
+    elif os.environ.get("MEGASCALE_COORDINATOR_ADDRESS") or (
+        # Multi-worker TPU pod: auto-discovery. A single-host entry
+        # ("localhost") is the tunnel shim, not a pod — skip it so we don't
+        # spin waiting for a coordinator that doesn't exist.
+        (h := os.environ.get("TPU_WORKER_HOSTNAMES", ""))
+        and h not in ("localhost", "127.0.0.1")
+    ):
         try:
             jax.distributed.initialize()
             log.info("jax.distributed auto-init: process %d/%d",
