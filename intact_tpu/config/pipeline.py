@@ -178,6 +178,10 @@ class TrainPipelineConfig:
     # model config: raw dict from the model JSON (must carry "type");
     # materialized via intact_tpu.models.registry
     model_cfg: dict = field(default_factory=lambda: {"type": "pi0"})
+    # language tokenizer asset (HF dir/repo, e.g. a PaliGemma tokenizer
+    # snapshot); "hash" opts into the hermetic fallback explicitly; None
+    # defers to the model JSON's "tokenizer_path" then $VLA_TOKENIZER_PATH
+    tokenizer_path: str | None = None
     freeze_lm_head: bool = True
     freeze_vlm: bool = False
     load_from_checkpoint: str | None = None
@@ -259,6 +263,17 @@ class TrainPipelineConfig:
     @property
     def model_type(self) -> str:
         return self.model_cfg.get("type", "pi0")
+
+    def resolve_tokenizer_path(self) -> str | None:
+        """Pipeline field > $VLA_TOKENIZER_PATH (local asset mirror) >
+        model-JSON "tokenizer_path" (canonical hub name). None -> hash
+        fallback with a loud warning in make_tokenizer."""
+        return (
+            self.tokenizer_path
+            or os.environ.get("VLA_TOKENIZER_PATH")
+            or self.model_cfg.get("tokenizer_path")
+            or None
+        )
 
 
 def _replace_common_fields(base, d: dict):

@@ -34,10 +34,13 @@ class Pi0Policy:
         sharding=None,
         model_module=None,
         quantize: bool = False,
+        tokenizer_path: str | None = None,
     ):
         """model_module: any module exposing init/sample_actions with the
         pi0 signature (pi0 by default; mvla works identically).
-        quantize: int8 W8A8 serving for the transformer-block matmuls."""
+        quantize: int8 W8A8 serving for the transformer-block matmuls.
+        tokenizer_path: HF tokenizer asset ("hash" for the hermetic
+        fallback); ignored when an explicit tokenizer object is passed."""
         self.cfg = cfg
         self.model = model_module or pi0
         self._quantize = quantize
@@ -46,7 +49,7 @@ class Pi0Policy:
             cm.DtypePolicy(param_dtype=jnp.float32, compute_dtype=jnp.float32)
         )
         self.tokenizer = tokenizer or make_tokenizer(
-            None, cfg.tokenizer_max_length, vocab_size=cfg.vlm.vocab_size
+            tokenizer_path, cfg.tokenizer_max_length, vocab_size=cfg.vlm.vocab_size
         )
         self._rng = jax.random.key(seed)
         self._queue: deque = deque()

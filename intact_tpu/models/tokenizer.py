@@ -17,8 +17,12 @@ Both return (tokens int32 [B, L], masks bool [B, L]).
 from __future__ import annotations
 
 import hashlib
+import logging
+import os
 
 import numpy as np
+
+log = logging.getLogger("intact_tpu.tokenizer")
 
 
 class HashTokenizer:
@@ -71,11 +75,42 @@ class HFTokenizer:
 
 def make_tokenizer(path_or_repo: str | None, max_length: int = 72,
                    vocab_size: int = 257_152):
-    """HF tokenizer when an asset is given/available, hash fallback otherwise.
-    vocab_size bounds the hash fallback's ids to the model's embedding table."""
+    """Tokenizer factory with loud failure semantics.
+
+    * ``path_or_repo`` set (config ``tokenizer_path`` / model-JSON field):
+      load the HF tokenizer; a load failure RAISES — never a silent hash
+      fallback, because a vocab mismatch corrupts language conditioning
+      invisibly (reference tokenizes with the real PaliGemma tokenizer,
+      `modeling_mvla.py:388-407`).
+    * ``path_or_repo == "hash"``: explicit hermetic HashTokenizer.
+    * ``path_or_repo is None``: honor $VLA_TOKENIZER_PATH if set (raises on
+      failure), else HashTokenizer with a one-time warning.
+
+    vocab_size bounds the hash fallback's ids to the model's embedding table.
+    """
+    if path_or_repo == "hash":
+        return HashTokenizer(vocab_size=vocab_size, max_length=max_length)
+    if not path_or_repo:
+        path_or_repo = os.environ.get("VLA_TOKENIZER_PATH") or None
     if path_or_repo:
         try:
             return HFTokenizer(path_or_repo, max_length)
-        except Exception:
-            pass
+        except Exception as e:
+            raise RuntimeError(
+                f"failed to load HF tokenizer from {path_or_repo!r}; refusing "
+                "to fall back to the hash tokenizer (vocab-incompatible with "
+                "PaliGemma). Pass tokenizer_path='hash' to opt into the "
+                "hermetic fallback explicitly."
+            ) from e
+    if not _warned_hash_fallback[0]:
+        _warned_hash_fallback[0] = True
+        log.warning(
+            "no tokenizer asset configured (tokenizer_path / "
+            "$VLA_TOKENIZER_PATH unset) — using the hermetic HashTokenizer. "
+            "This is NOT PaliGemma-vocab-compatible; converted released "
+            "checkpoints will see wrong language conditioning."
+        )
     return HashTokenizer(vocab_size=vocab_size, max_length=max_length)
+
+
+_warned_hash_fallback = [False]

@@ -52,6 +52,7 @@ class Pi0PolicyWrapper(BasePolicyWrapper):
         self.policy = Pi0Policy(
             self.model_cfg, seed=config.seed, use_bf16=config.use_bf16,
             model_module=model_module,
+            tokenizer_path=config.resolve_tokenizer_path(),
         )
         path = config.eval_cfg.pretrained_model_path
         if path:
@@ -116,7 +117,9 @@ class OctoPolicyWrapper(BasePolicyWrapper):
         cfg = self.model_cfg
         self._jnp, self._jax = jnp, jax
         self.params = jax.jit(lambda k: octo_model.init(k, cfg))(jax.random.key(config.seed))
-        self.tokenizer = make_tokenizer(None, cfg.max_lang_tokens, vocab_size=cfg.vocab_size)
+        self.tokenizer = make_tokenizer(
+            config.resolve_tokenizer_path(), cfg.max_lang_tokens, vocab_size=cfg.vocab_size
+        )
         self._history = deque(maxlen=cfg.history)
         self._rng = jax.random.key(config.seed)
         self._sample = jax.jit(

@@ -177,7 +177,7 @@ class Trainer:
 
         # ---- data ----
         self.tokenizer = make_tokenizer(
-            None, self.model_cfg.tokenizer_max_length,
+            cfg.resolve_tokenizer_path(), self.model_cfg.tokenizer_max_length,
             vocab_size=self.model_cfg.vlm.vocab_size,
         )
         stats = cfg.data.dataset_stats if cfg.data.dataset_stats else None
