@@ -131,6 +131,7 @@ class EvalConfig:
     # serving-batcher knobs (TPU continuous batching, no reference equivalent)
     max_batch_size: int = 64
     batch_timeout_ms: float = 5.0
+    prewarm: bool = True  # compile every fused-batch bucket before serving
     # derived (set in TrainPipelineConfig.finalize)
     env_adapter_path: str | None = None
     simulator_path: str | None = None

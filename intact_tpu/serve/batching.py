@@ -19,6 +19,7 @@ with the connection, not the model.
 from __future__ import annotations
 
 import asyncio
+import concurrent.futures
 import logging
 import traceback
 
@@ -50,6 +51,7 @@ class BatchingPolicyServer:
         metadata: dict | None = None,
         max_batch_size: int = 64,
         batch_timeout_ms: float = 5.0,
+        prewarm: bool = True,
     ):
         self._policy = policy
         self._config = config
@@ -58,9 +60,32 @@ class BatchingPolicyServer:
         self._metadata = metadata or {}
         self._max_batch = max_batch_size
         self._timeout_s = batch_timeout_ms / 1000.0
+        self._prewarm = prewarm
         self._queue: asyncio.Queue[_Request] = None  # created in run()
+        # ONE device-work thread: inference and hot model swaps serialize on
+        # it, so a switch_model never races an in-flight sample_action_chunk
+        # (the default executor has many threads and would interleave them)
+        self._device_executor = concurrent.futures.ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="device"
+        )
+        # power-of-two fused-batch buckets: the jitted sample path compiles
+        # once per distinct batch size (~13 s for Pi0-3B), so arbitrary fused
+        # sizes 1..max_batch cause a recompilation storm under a ramping
+        # client fleet. Padding to buckets bounds compiles to len(buckets).
+        self._buckets = []
+        b = 1
+        while b < max_batch_size:
+            self._buckets.append(b)
+            b *= 2
+        self._buckets.append(max_batch_size)
         self.logger = setup_logger(True, name="batching_server")
         self.logger.setLevel(logging.INFO)
+
+    def _bucket_size(self, n: int) -> int:
+        for b in self._buckets:
+            if b >= n:
+                return b
+        return self._max_batch
 
     def _make_adapter(self):
         return get_class_from_path(self._config.eval_cfg.env_adapter_path)(self._config)
@@ -70,6 +95,10 @@ class BatchingPolicyServer:
 
     async def run(self):
         self._queue = asyncio.Queue()
+        if self._prewarm:
+            await asyncio.get_running_loop().run_in_executor(
+                self._device_executor, self.prewarm_buckets
+            )
         worker = asyncio.create_task(self._batch_worker())
         try:
             async with websockets.asyncio.server.serve(
@@ -111,7 +140,9 @@ class BatchingPolicyServer:
                     n_batches, n_requests / n_batches,
                 )
             try:
-                results = await loop.run_in_executor(None, self._infer_batch, batch)
+                results = await loop.run_in_executor(
+                    self._device_executor, self._infer_batch, batch
+                )
                 for req, res in zip(batch, results):
                     if not req.future.done():
                         req.future.set_result(res)
@@ -120,13 +151,38 @@ class BatchingPolicyServer:
                     if not req.future.done():
                         req.future.set_exception(e)
 
+    def prewarm_buckets(self) -> None:
+        """Compile every fused-batch bucket before serving: one dummy
+        inference per bucket so a ramping client fleet never pays a compile
+        mid-traffic."""
+        h, w = self._config.env.image_size
+        state_dim = int(getattr(
+            getattr(self._policy, "cfg", None), "max_state_dim", 8
+        ) or 8)
+        for b in self._buckets:
+            fused = {
+                "image": np.zeros((b, h, w, 3), np.float32),
+                "state": np.zeros((b, state_dim), np.float32),
+                "task": ["warmup"] * b,
+            }
+            self._policy.sample_action_chunk(fused)
+            self.logger.info("prewarmed bucket %d", b)
+
     def _infer_batch(self, batch: list[_Request]) -> list[np.ndarray]:
+        n = len(batch)
+        pad = self._bucket_size(n) - n
+        imgs = np.concatenate([r.inputs["image"] for r in batch])
+        states = np.concatenate([r.inputs["state"] for r in batch])
+        if pad:  # replicate the last row up to the bucket boundary
+            imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad, axis=0)])
+            states = np.concatenate([states, np.repeat(states[-1:], pad, axis=0)])
         fused = {
-            "image": np.concatenate([r.inputs["image"] for r in batch]),
-            "state": np.concatenate([r.inputs["state"] for r in batch]),
-            "task": [r.inputs["task"][0] for r in batch],
+            "image": imgs,
+            "state": states,
+            "task": [r.inputs["task"][0] for r in batch]
+            + [batch[-1].inputs["task"][0]] * pad,
         }
-        chunks = self._policy.sample_action_chunk(fused)  # [N, chunk, D_model]
+        chunks = self._policy.sample_action_chunk(fused)  # [bucket, chunk, D_model]
         out = []
         action_step = self._config.eval_cfg.action_step
         for i, req in enumerate(batch):
@@ -147,10 +203,12 @@ class BatchingPolicyServer:
                 obs = msgpack_numpy.unpackb(await websocket.recv())
 
                 if isinstance(obs, dict) and obs.get("new_model_path") is not None:
-                    # model swap is global: drain-free but safe because the
-                    # worker runs inference in this same loop's executor
+                    # model swap is global to the shared policy. Running it on
+                    # the single device thread drains queued inference batches
+                    # first, so no in-flight sample uses half-swapped params;
+                    # requests arriving during the load simply queue behind it.
                     await loop.run_in_executor(
-                        None, self._policy.load, obs["new_model_path"]
+                        self._device_executor, self._policy.load, obs["new_model_path"]
                     )
                     await websocket.send(packer.pack({"status": "model switched"}))
                     continue

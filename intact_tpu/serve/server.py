@@ -28,6 +28,7 @@ def serve(policy_wrapper, config, batching: bool | None = None) -> None:
             metadata=metadata,
             max_batch_size=ec.max_batch_size,
             batch_timeout_ms=ec.batch_timeout_ms,
+            prewarm=ec.prewarm,
         ).serve_forever()
     else:
         WebsocketPolicyServer(

@@ -109,6 +109,81 @@ class TestAdapters:
         np.testing.assert_allclose(a1, [0.5, 0.5])
 
 
+class _RecordingPolicy:
+    """sample_action_chunk stub: records every device batch size and returns
+    actions derived from the state so scatter correctness is checkable."""
+
+    def __init__(self):
+        self.sizes = []
+
+    def sample_action_chunk(self, batch):
+        n = len(batch["task"])
+        assert batch["image"].shape[0] == n and batch["state"].shape[0] == n
+        self.sizes.append(n)
+        # action[i] = state[i, 0] broadcast -> [n, chunk=4, 7]
+        return np.tile(batch["state"][:, :1, None], (1, 4, 7)).astype(np.float32)
+
+
+class _IdentityAdapter:
+    dataset_statistics = {"action": {"mean": [0.0] * 7}}
+
+    def postprocess(self, actions):
+        return np.asarray(actions)
+
+
+class TestBatchBucketing:
+    """Fused batches are padded to power-of-two buckets so the jitted sample
+    path compiles a bounded set of shapes (VERDICT round-1 weak #3)."""
+
+    def _server(self, max_batch=8):
+        from intact_tpu.serve.batching import BatchingPolicyServer
+
+        cfg = make_cfg(port=0)
+        policy = _RecordingPolicy()
+        return BatchingPolicyServer(
+            policy, cfg, max_batch_size=max_batch, prewarm=False
+        ), policy
+
+    def test_bucket_sizes(self):
+        server, _ = self._server(max_batch=8)
+        assert server._buckets == [1, 2, 4, 8]
+        assert [server._bucket_size(n) for n in (1, 2, 3, 5, 8)] == [1, 2, 4, 8, 8]
+        server6, _ = self._server(max_batch=6)
+        assert server6._buckets == [1, 2, 4, 6]
+        assert server6._bucket_size(5) == 6
+
+    def test_infer_pads_to_bucket_and_scatters_correctly(self):
+        from intact_tpu.serve.batching import _Request
+
+        server, policy = self._server(max_batch=8)
+        adapter = _IdentityAdapter()
+
+        def req(v):
+            return _Request(
+                {
+                    "image": np.zeros((1, 28, 28, 3), np.float32),
+                    "state": np.full((1, 7), v, np.float32),
+                    "task": ["t"],
+                },
+                adapter,
+                None,
+            )
+
+        for n in (1, 2, 3, 5, 6, 7):
+            out = server._infer_batch([req(float(i)) for i in range(n)])
+            assert len(out) == n
+            for i, a in enumerate(out):
+                np.testing.assert_allclose(a, float(i))
+        # every device call hit a bucket size, never a raw fused size
+        assert set(policy.sizes) <= {1, 2, 4, 8}
+        assert 3 not in policy.sizes and 5 not in policy.sizes
+
+    def test_prewarm_compiles_every_bucket(self):
+        server, policy = self._server(max_batch=8)
+        server.prewarm_buckets()
+        assert policy.sizes == [1, 2, 4, 8]
+
+
 @pytest.mark.slow
 class TestServeEvalEndToEnd:
     def test_full_eval_loop_over_websocket(self, tmp_path, monkeypatch):
