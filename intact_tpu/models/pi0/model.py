@@ -63,9 +63,14 @@ def embed_prefix(params, images, img_masks, lang_tokens, lang_masks, cfg: Pi0Con
                  policy: DtypePolicy = DEFAULT_POLICY):
     """-> (embs [B, P, D_vlm], pad [B, P] bool, att [B, P] int).
 
-    Image and language embeddings are scaled by sqrt(width) (Gemma embedding
-    convention, reference modeling_mvla.py:598-620). The whole prefix is one
-    full-attention block (att = 0 everywhere).
+    Language embeddings are scaled by sqrt(width) (Gemma embedding
+    convention). Image embeddings are NOT scaled: the reference multiplies
+    by sqrt(d) (modeling_mvla.py:598-602) but its embed_image is HF
+    PaliGemma's get_image_features, which divides the projector output by
+    sqrt(hidden_size) — the two cancel, so the net prefix image embedding
+    is the raw projector output. Scaling here would break converted-weight
+    parity by a factor of sqrt(width) (~45x for 2048).
+    The whole prefix is one full-attention block (att = 0 everywhere).
     """
     b, k = images.shape[:2]
     n_patch = cfg.vision.num_patches
@@ -75,7 +80,6 @@ def embed_prefix(params, images, img_masks, lang_tokens, lang_masks, cfg: Pi0Con
     )
     img_emb = cm.dense(params["img_proj"], patches, policy)
     img_emb = img_emb.reshape(b, k * n_patch, cfg.vlm.width)
-    img_emb = img_emb * jnp.asarray(cfg.vlm.width**0.5, img_emb.dtype)
     img_pad = jnp.repeat(img_masks.astype(bool), n_patch, axis=1)
 
     lang_emb = cm.embed_lookup(params["vlm_embed"], lang_tokens, policy)
