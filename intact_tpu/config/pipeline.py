@@ -62,6 +62,8 @@ class TrainDataConfig:
     traj_transform_threads: int = 20
     traj_read_threads: int = 20
     max_action_future: int = 50
+    subsample_length: int = 100  # post-chunk frames kept per traj (train)
+    image_dropout_prob: float = 0.0  # whole-camera dropout (non-primary)
 
 
 @dataclasses.dataclass
@@ -78,6 +80,8 @@ class ValDataConfig:
     traj_transform_threads: int | None = None
     traj_read_threads: int | None = None
     max_action_future: int | None = None
+    subsample_length: int | None = None
+    image_dropout_prob: float | None = None
 
 
 @dataclasses.dataclass
@@ -87,6 +91,10 @@ class DataConfig:
     dataset_stats: dict = field(default_factory=lambda: dict(BRIDGE_DATASET_STATS))
     train_episode_count: int = 1_550_000
     backend: str = "auto"  # "rlds" (tf.data) | "synthetic" | "auto"
+    # instruction-paraphrase table (local JSON {instruction: [paraphrases]});
+    # used when TrainPipelineConfig.task_paraphrase is on. None -> HF hub
+    # corpus (rail-berkeley/OXE_paraphrases), which needs network.
+    paraphrase_json: str | None = None
 
 
 @dataclasses.dataclass

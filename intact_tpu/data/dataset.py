@@ -30,6 +30,7 @@ class InterleavedDataset:
         normalization_type: str = "normal",
         seed: int = 0,
         image_size: int = 224,
+        task_paraphrase: bool = False,
     ):
         self.data_cfg = data_cfg
         self.batch_size = batch_size
@@ -39,6 +40,25 @@ class InterleavedDataset:
         self.stats = stats
         self.normalization_type = normalization_type
         self.seed = seed
+
+        # paraphrase augmentation (train only; reference agent/dataset.py:36-41
+        # wires rephrase_prob=0.5 from the OXE_paraphrases corpus)
+        self.rephraser = None
+        if task_paraphrase and split == "train":
+            from intact_tpu.data.task_augmentation import Rephraser
+
+            table = getattr(data_cfg, "paraphrase_json", None)
+            if table:
+                self.rephraser = Rephraser(table, rephrase_prob=0.5, seed=seed)
+            else:
+                try:
+                    self.rephraser = Rephraser.from_hub(rephrase_prob=0.5, seed=seed)
+                except Exception as e:
+                    raise RuntimeError(
+                        "task_paraphrase=True but no paraphrase table: set "
+                        "data.paraphrase_json to a local JSON or make the HF "
+                        "hub reachable (rail-berkeley/OXE_paraphrases)"
+                    ) from e
 
         section = data_cfg.train if split == "train" else data_cfg.val
         backend = getattr(data_cfg, "backend", "auto")
@@ -60,7 +80,7 @@ class InterleavedDataset:
             self._ds = RLDSInterleavedBackend(
                 data_cfg, section, split=split, seed=seed,
                 shard_index=shard_index, num_shards=num_shards,
-                image_size=image_size,
+                image_size=image_size, rephraser=self.rephraser,
             )
             self._num_transitions = self._ds.num_transitions
         else:
@@ -81,7 +101,15 @@ class InterleavedDataset:
             # synthetic frames are raw -> normalize here; the rlds backend
             # normalizes in-graph against per-dataset statistics
             for batch in it:
-                yield self._normalize(batch)
+                batch = self._normalize(batch)
+                if self.rephraser is not None:
+                    batch["task"] = dict(batch["task"])
+                    batch["task"]["language_instruction"] = (
+                        self.rephraser.rephrase_batch(
+                            batch["task"]["language_instruction"]
+                        )
+                    )
+                yield batch
         else:
             yield from self._ds.batches(self.batch_size)
 

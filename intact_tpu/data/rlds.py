@@ -215,11 +215,48 @@ def apply_trajectory_transforms(
     train: bool,
     window_size: int = 1,
     action_horizon: int = 1,
+    max_action_future: int | None = None,
+    goal_relabeling_strategy: str | None = None,
+    goal_relabeling_kwargs: dict | None = None,
+    rephrase_table=None,  # tf StaticHashTable (Rephraser.to_tf_table())
+    rephrase_prob: float = 0.5,
     subsample_length: int | None = None,
+    seed: int = 0,
     num_parallel_calls=AUTOTUNE,
 ) -> tf.data.Dataset:
+    """Order matches the reference (`rlds_dataset.py:34-182`): goal relabel
+    -> task augment (paraphrase) -> chunk -> subsample. Randomness is
+    stateless, keyed on (seed, trajectory index)."""
+    from intact_tpu.data.tf_transforms import uniform_goal_relabel_tf
+
+    if goal_relabeling_strategy is not None or rephrase_table is not None:
+        if goal_relabeling_strategy not in (None, "uniform"):
+            raise ValueError(
+                f"unknown goal_relabeling_strategy {goal_relabeling_strategy!r}"
+            )
+        kwargs = goal_relabeling_kwargs or {"reached_proportion": 0.3}
+
+        def traj_augment(i, traj):
+            s = tf.stack([tf.cast(i, tf.int32), seed])
+            s1, s2 = tf.unstack(
+                tf.random.experimental.stateless_split(s, num=2), num=2
+            )
+            if goal_relabeling_strategy == "uniform":
+                traj = uniform_goal_relabel_tf(traj, seed=s1, **kwargs)
+            if rephrase_table is not None and train:
+                from intact_tpu.data.task_augmentation import (
+                    rephrase_instruction_traj_tf,
+                )
+
+                traj = rephrase_instruction_traj_tf(
+                    traj, rephrase_table, rephrase_prob, s2
+                )
+            return traj
+
+        ds = ds.enumerate().map(traj_augment, num_parallel_calls=num_parallel_calls)
+
     ds = ds.map(
-        lambda t: chunk_act_obs_tf(t, window_size, action_horizon),
+        lambda t: chunk_act_obs_tf(t, window_size, action_horizon, max_action_future),
         num_parallel_calls=num_parallel_calls,
     )
     if train and subsample_length is not None:
@@ -243,22 +280,37 @@ def apply_frame_transforms(
     resize_size: tuple[int, int] = (224, 224),
     augment: bool = True,
     augment_seed: int = 0,
+    image_dropout_prob: float = 0.0,
     num_parallel_calls=AUTOTUNE,
 ) -> tf.data.Dataset:
+    """Decode/resize every image_* camera key, then (train) seeded augment
+    and whole-frame image dropout (reference obs_transforms.py:15-106;
+    dropout keeps image_primary as the always-kept camera)."""
+    from intact_tpu.data.tf_transforms import image_dropout_tf
+
     def frame_fn(frame, seed_offset):
-        img = frame["observation"]["image_primary"]
-        # [window, H, W, C]
-        img = tf.map_fn(
-            lambda im: decode_and_resize_tf(im, resize_size), img,
-            fn_output_signature=tf.uint8,
-        )
-        if train and augment:
-            seed = tf.stack([tf.cast(seed_offset, tf.int32), augment_seed])
+        obs = frame["observation"]
+        image_keys = sorted(k for k in obs if k.startswith("image_"))
+        for j, key in enumerate(image_keys):
+            img = obs[key]  # [window, H, W, C]
             img = tf.map_fn(
-                lambda im: augment_image_tf(im, seed), img,
+                lambda im: decode_and_resize_tf(im, resize_size), img,
                 fn_output_signature=tf.uint8,
             )
-        frame["observation"]["image_primary"] = img
+            if train and augment:
+                seed = tf.stack(
+                    [tf.cast(seed_offset, tf.int32) * 31 + j, augment_seed]
+                )
+                img = tf.map_fn(
+                    lambda im: augment_image_tf(im, seed), img,
+                    fn_output_signature=tf.uint8,
+                )
+            if train and image_dropout_prob > 0.0 and key != "image_primary":
+                seed = tf.stack(
+                    [tf.cast(seed_offset, tf.int32) * 37 + j, augment_seed + 1]
+                )
+                img = image_dropout_tf(img, seed, image_dropout_prob)
+            obs[key] = img
         return frame
 
     return ds.enumerate().map(
@@ -278,6 +330,12 @@ def make_interleaved_dataset(
     shuffle_buffer_size: int,
     window_size: int = 1,
     action_horizon: int = 1,
+    max_action_future: int | None = None,
+    subsample_length: int | None = None,
+    goal_relabeling_strategy: str | None = None,
+    rephrase_table=None,
+    rephrase_prob: float = 0.5,
+    image_dropout_prob: float = 0.0,
     resize_size=(224, 224),
     balance_weights: bool = True,
     batch_size: int | None = None,
@@ -298,7 +356,12 @@ def make_interleaved_dataset(
         all_stats[kwargs["name"]] = statistics
         sizes.append(statistics["num_transitions"])
         ds = apply_trajectory_transforms(
-            ds, train=train, window_size=window_size, action_horizon=action_horizon
+            ds, train=train, window_size=window_size, action_horizon=action_horizon,
+            max_action_future=max_action_future,
+            subsample_length=subsample_length,
+            goal_relabeling_strategy=goal_relabeling_strategy,
+            rephrase_table=rephrase_table, rephrase_prob=rephrase_prob,
+            seed=seed,
         )
         datasets.append(flatten_to_frames(ds.repeat()))
 
@@ -316,7 +379,8 @@ def make_interleaved_dataset(
     if shuffle_buffer_size > 1:
         ds = ds.shuffle(shuffle_buffer_size, seed=seed)
     ds = apply_frame_transforms(
-        ds, train=train, resize_size=resize_size, augment_seed=seed
+        ds, train=train, resize_size=resize_size, augment_seed=seed,
+        image_dropout_prob=image_dropout_prob,
     )
     # corrupt frames are logged and skipped instead of killing the epoch
     # (reference rlds_dataset.py:608 dataset.ignore_errors)
@@ -341,19 +405,27 @@ def _options() -> tf.data.Options:
 class RLDSInterleavedBackend:
     def __init__(self, data_cfg, section, split: str, seed: int,
                  shard_index: int = 0, num_shards: int = 1,
-                 image_size: int = 224):
+                 image_size: int = 224, rephraser=None):
         from intact_tpu.data.oxe import make_oxe_dataset_kwargs_and_weights
 
         kwargs_list, weights = make_oxe_dataset_kwargs_and_weights(
             section.dataset_mix, str(section.data_path),
             load_proprio=section.load_proprio,
         )
+        train = split == "train"
         self._ds, self.num_transitions, self.statistics = make_interleaved_dataset(
             kwargs_list, weights,
-            train=(split == "train"),
+            train=train,
             shuffle_buffer_size=section.shuffle_buffer_size,
             window_size=section.window_size or 1,
             action_horizon=section.action_horizon or 1,
+            max_action_future=getattr(section, "max_action_future", None),
+            subsample_length=getattr(section, "subsample_length", None),
+            image_dropout_prob=(
+                getattr(section, "image_dropout_prob", 0.0) if train else 0.0
+            ),
+            rephrase_table=(rephraser.to_tf_table() if rephraser and train else None),
+            rephrase_prob=rephraser.rephrase_prob if rephraser else 0.5,
             resize_size=(image_size, image_size),
             seed=seed,
             shard_index=shard_index,

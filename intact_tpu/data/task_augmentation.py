@@ -93,6 +93,36 @@ def rephrase_instruction_tf(frame: dict, table, rephrase_prob: float, seed) -> d
     return frame
 
 
+def rephrase_instruction_traj_tf(traj: dict, table, rephrase_prob: float, seed) -> dict:
+    """Trajectory-level rephrasing (reference `task_augmentation.py:53-97`):
+    look up paraphrases of the trajectory's instruction, sample one option
+    PER FRAME, and keep the originals with one prob-(1-p) coin per trajectory.
+    Stateless (seeded), tf-graph safe."""
+    import tensorflow as tf
+
+    if "task" not in traj or "language_instruction" not in traj["task"]:
+        return traj
+    original = traj["task"]["language_instruction"]  # [T] strings
+    joined = table.lookup(original[0])
+    seeds = tf.unstack(tf.random.experimental.stateless_split(seed, num=2), num=2)
+
+    def augmented():
+        # options = original + its paraphrases
+        options = tf.concat([[original[0]], tf.strings.split(joined, ";")], axis=0)
+        n = tf.shape(options)[0]
+        idx = tf.random.stateless_uniform(
+            tf.shape(original), seeds[0], 0, n, dtype=tf.int32
+        )
+        sampled = tf.gather(options, idx)
+        use = tf.random.stateless_uniform([], seeds[1]) < rephrase_prob
+        return tf.where(use, sampled, original)
+
+    traj["task"]["language_instruction"] = tf.cond(
+        tf.strings.length(joined) > 0, augmented, lambda: original
+    )
+    return traj
+
+
 def delete_task_conditioning(instructions, keep_prob: float, rng: np.random.Generator):
     """Blank instructions with prob 1-keep_prob (goal-image training mode)."""
     keep = rng.uniform(size=len(instructions)) < keep_prob

@@ -58,8 +58,10 @@ def rel2abs_gripper_actions_tf(actions: tf.Tensor) -> tf.Tensor:
 # trajectory chunking
 # ---------------------------------------------------------------------------
 
-def chunk_act_obs_tf(traj: dict, window_size: int = 1, action_horizon: int = 1) -> dict:
-    """tf mirror of data.transforms.chunk_act_obs (same shapes/semantics)."""
+def chunk_act_obs_tf(traj: dict, window_size: int = 1, action_horizon: int = 1,
+                     max_action_future: int | None = None) -> dict:
+    """tf mirror of data.transforms.chunk_act_obs (same shapes/semantics),
+    including the future_action lookahead when max_action_future is set."""
     traj_len = tf.shape(traj["action"])[0]
 
     hist_idx = tf.range(traj_len)[:, None] + tf.range(-window_size + 1, 1)
@@ -68,6 +70,17 @@ def chunk_act_obs_tf(traj: dict, window_size: int = 1, action_horizon: int = 1) 
 
     obs = tf.nest.map_structure(lambda x: tf.gather(x, hist_idx), traj["observation"])
     obs["timestep_pad_mask"] = timestep_pad_mask
+
+    future_action = None
+    if max_action_future is not None:
+        fa = traj["action"]
+        if len(fa.shape) == 2:
+            fut_idx = tf.range(traj_len)[:, None] + tf.range(max_action_future)
+            fut_idx = tf.minimum(fut_idx, traj_len - 1)
+            fa = tf.gather(fa, fut_idx)
+        else:
+            fa = fa[:, :max_action_future]
+        future_action = tf.gather(fa, hist_idx)  # [T, window, F, dim]
 
     action = traj["action"]
     if len(action.shape) == 2:
@@ -100,7 +113,43 @@ def chunk_act_obs_tf(traj: dict, window_size: int = 1, action_horizon: int = 1) 
     out["observation"] = obs
     out["action"] = tf.cast(action, tf.float32)
     out["action_pad_mask"] = action_pad_mask
+    if future_action is not None:
+        out["future_action"] = tf.cast(future_action, tf.float32)
     return out
+
+
+# ---------------------------------------------------------------------------
+# goal relabeling (pre-chunk, trajectory level)
+# ---------------------------------------------------------------------------
+
+def uniform_goal_relabel_tf(traj: dict, reached_proportion: float, seed) -> dict:
+    """Uniform future-state goal relabeling (reference
+    `src/data/dlimp/transforms/goal_relabeling.py:14-52`): with probability
+    reached_proportion frame i gets goal = obs[i] (reward 0), else a goal
+    sampled uniformly from obs[i+1:] (reward -1). The final frame is always
+    goal-reaching. Adds task/goal_<image-key> and a per-frame reward.
+    Stateless (seeded) version of the reference's stateful randoms."""
+    traj_len = tf.shape(traj["action"])[0]
+    seeds = tf.unstack(tf.random.experimental.stateless_split(seed, num=2), num=2)
+
+    rand = tf.random.stateless_uniform([traj_len], seeds[0])
+    low = tf.cast(tf.range(traj_len) + 1, tf.float32)
+    high = tf.cast(traj_len, tf.float32)
+    goal_idxs = tf.cast(rand * (high - low) + low, tf.int32)
+    goal_idxs = tf.minimum(goal_idxs, traj_len - 1)
+
+    reached = tf.random.stateless_uniform([traj_len], seeds[1]) < reached_proportion
+    reached = tf.logical_or(reached, tf.range(traj_len) == traj_len - 1)
+    goal_idxs = tf.where(reached, tf.range(traj_len), goal_idxs)
+
+    task = dict(traj.get("task", {}))
+    for key, value in traj["observation"].items():
+        if key.startswith("image_"):
+            task["goal_" + key] = tf.gather(value, goal_idxs)
+    task["timestep"] = goal_idxs
+    traj["task"] = task
+    traj["reward"] = tf.where(reached, 0.0, -1.0)
+    return traj
 
 
 # ---------------------------------------------------------------------------

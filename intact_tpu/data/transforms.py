@@ -12,14 +12,20 @@ from __future__ import annotations
 import numpy as np
 
 
-def chunk_act_obs(traj: dict, window_size: int = 1, action_horizon: int = 1) -> dict:
+def chunk_act_obs(traj: dict, window_size: int = 1, action_horizon: int = 1,
+                  max_action_future: int | None = None) -> dict:
     """Chunk a trajectory dict into per-timestep observation histories and
     action-future chunks.
 
     In:  observation/* [T, ...], action [T, dim], optional action_pad_mask
          [T, dim], optional task/timestep goal index.
     Out: observation/* [T, window, ...] (+ timestep_pad_mask), action
-         [T, window, horizon, dim], action_pad_mask [T, window, horizon, dim].
+         [T, window, horizon, dim], action_pad_mask [T, window, horizon, dim],
+         and — when max_action_future is set — future_action
+         [T, window, max_action_future, dim] (the reference's
+         chunk_act_obs_also_future, `src/data/traj_transforms.py:106-168`:
+         a longer action lookahead than the training horizon, repeating the
+         last action past the end of the trajectory).
 
     Edge handling matches the reference: history repeats the first frame;
     action futures repeat the last action; actions past the goal/final
@@ -34,6 +40,16 @@ def chunk_act_obs(traj: dict, window_size: int = 1, action_horizon: int = 1) -> 
 
     obs = {k: np.asarray(v)[hist_idx] for k, v in traj["observation"].items()}
     obs["timestep_pad_mask"] = timestep_pad_mask
+
+    future_action = None
+    if max_action_future is not None:
+        if action.ndim == 2:
+            fut_idx = np.arange(traj_len)[:, None] + np.arange(max_action_future)
+            fut_idx = np.minimum(fut_idx, traj_len - 1)
+            future_action = action[fut_idx]  # [T, F, dim]
+        else:
+            future_action = action[:, :max_action_future]
+        future_action = future_action[hist_idx]  # [T, window, F, dim]
 
     if action.ndim == 2:
         chunk_idx = np.arange(traj_len)[:, None] + np.arange(action_horizon)
@@ -71,6 +87,8 @@ def chunk_act_obs(traj: dict, window_size: int = 1, action_horizon: int = 1) -> 
     out["observation"] = obs
     out["action"] = action.astype(np.float32)
     out["action_pad_mask"] = action_pad_mask
+    if future_action is not None:
+        out["future_action"] = future_action.astype(np.float32)
     return out
 
 

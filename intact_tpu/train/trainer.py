@@ -50,20 +50,59 @@ from intact_tpu.utils.monitor import Timer, log_device_memory, setup_logger
 from intact_tpu.utils.pipeline import set_seed_everywhere
 
 
+CAMERA_KEYS = ("image_primary", "image_secondary", "image_wrist")
+
+
 def preprocess_batch(batch: dict, tokenizer, model_cfg, train: bool = True) -> dict:
     """RLDS batch -> model inputs (reference preprocess_batch,
     `trainer.py:385-425`): uint8 frames -> [-1,1] float, instruction bytes ->
-    tokens, proprio/action padded to the model's max dims."""
+    tokens, proprio/action padded to the model's max dims.
+
+    Cameras and history are separate axes: each observation image_* key is
+    one camera [B, T(history), H, W, C]; the CURRENT (last) history frame of
+    each present camera feeds the model, and missing cameras are synthesized
+    as zero padding images with img_mask=False (reference
+    `src/agent/trainer.py:385-425` + padding-image synthesis in
+    `obs_transforms.py:107-172`). History windows >1 are not folded into the
+    camera axis — models here consume single-step observations.
+    """
     from intact_tpu import native
 
-    imgs = batch["observation"]["image_primary"]  # [B, T, H, W, C] uint8
-    b, t = imgs.shape[:2]
-    # single-frame window: the history axis doubles as the camera axis (K=T);
+    obs = batch["observation"]
+    present = [k for k in CAMERA_KEYS if k in obs]
+    if not present:
+        raise KeyError(f"no camera keys in observation (expected one of {CAMERA_KEYS})")
+    if len(present) > model_cfg.num_cameras:
+        raise ValueError(
+            f"batch has {len(present)} cameras {present} but the model expects "
+            f"num_cameras={model_cfg.num_cameras}"
+        )
+
+    first = obs[present[0]]
+    b = first.shape[0]
+    cam_frames, cam_masks = [], []
+    for key in present:
+        imgs = np.asarray(obs[key])
+        if imgs.ndim == 5:  # [B, T, H, W, C] -> current frame
+            frame = imgs[:, -1]
+        elif imgs.ndim == 4:  # already [B, H, W, C]
+            frame = imgs
+        else:
+            raise ValueError(f"{key}: unexpected image rank {imgs.ndim}")
+        cam_frames.append(frame)
+        # an all-zero frame is a dropped/padding camera (image_dropout)
+        cam_masks.append(frame.reshape(b, -1).any(axis=-1))
+
+    h, w, c = cam_frames[0].shape[1:]
+    n_missing = model_cfg.num_cameras - len(cam_frames)
+    for _ in range(n_missing):
+        cam_frames.append(np.zeros((b, h, w, c), cam_frames[0].dtype))
+        cam_masks.append(np.zeros((b,), bool))
+
+    stacked = np.stack(cam_frames, axis=1)  # [B, K, H, W, C] uint8
     # fused native u8 -> [-1,1] f32 (one pass instead of cast+mul+sub)
-    images = native.normalize_u8(imgs)  # [B, K, H, W, C]
-    img_masks = batch["observation"].get(
-        "timestep_pad_mask", np.ones((b, t), bool)
-    ).astype(bool)
+    images = native.normalize_u8(stacked)
+    img_masks = np.stack(cam_masks, axis=1)  # [B, K]
 
     texts = [
         s.decode() if isinstance(s, bytes) else str(s)
@@ -193,6 +232,7 @@ class Trainer:
             shard_index=jax.process_index(), num_shards=jax.process_count(),
             stats=norm_stats, seed=cfg.seed,
             image_size=self.model_cfg.vision.image_size,
+            task_paraphrase=cfg.task_paraphrase,
         )
         self.val_data = InterleavedDataset(
             cfg.data, self.micro_batch_size, split="val",
