@@ -365,6 +365,37 @@ def make_interleaved_dataset(
         )
         datasets.append(flatten_to_frames(ds.repeat()))
 
+    # heterogeneous mixes (e.g. oxe_flex_act_soup: 7-dof EEF + 14-dof
+    # bimanual + 2-dof nav) must agree on action width before interleaving:
+    # pad every dataset's action to the mix maximum with an explicit
+    # action_pad_mask so padded dims drop out of the loss (reference
+    # traj_transforms.pad_actions_and_proprio)
+    dims = [int(d.element_spec["action"].shape[-1]) for d in datasets]
+    max_dim = max(dims)
+    if any(d != max_dim for d in dims):
+        def pad_to(ds_, dim_):
+            pad = max_dim - dim_
+
+            def f(frame):
+                frame = dict(frame)
+                a = frame["action"]
+                frame["action"] = tf.pad(a, [[0, 0]] * (len(a.shape) - 1) + [[0, pad]])
+                m = frame.get("action_pad_mask")
+                if m is None:
+                    m = tf.ones_like(a, tf.bool)
+                frame["action_pad_mask"] = tf.pad(
+                    m, [[0, 0]] * (len(a.shape) - 1) + [[0, pad]],
+                    constant_values=False,
+                )
+                return frame
+
+            return ds_.map(f, num_parallel_calls=AUTOTUNE)
+
+        datasets = [
+            pad_to(d, dim) if dim != max_dim else d
+            for d, dim in zip(datasets, dims)
+        ]
+
     if balance_weights:
         sample_weights = [w * s for w, s in zip(sample_weights, sizes)]
     total = sum(sample_weights)

@@ -158,9 +158,17 @@ def uniform_goal_relabel_tf(traj: dict, reached_proportion: float, seed) -> dict
 
 def decode_and_resize_tf(image: tf.Tensor, size: tuple[int, int]) -> tf.Tensor:
     """Bytes or uint8 tensor -> uint8 [H, W, 3] resized (lanczos3, matching
-    the reference's tf resize path)."""
+    the reference's tf resize path). An empty byte string is a padding
+    camera (reference obs_transforms.py:107-172) and decodes to zeros."""
     if image.dtype == tf.string:
-        image = tf.io.decode_image(image, expand_animations=False, channels=3)
+        image = tf.cond(
+            tf.strings.length(image) > 0,
+            lambda: tf.ensure_shape(
+                tf.io.decode_image(image, expand_animations=False, channels=3),
+                [None, None, 3],
+            ),
+            lambda: tf.zeros((size[0], size[1], 3), tf.uint8),
+        )
     if image.shape[-3:-1] != size:
         image = tf.cast(
             tf.clip_by_value(
