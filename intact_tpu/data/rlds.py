@@ -47,23 +47,38 @@ AUTOTUNE = tf.data.AUTOTUNE
 # ---------------------------------------------------------------------------
 
 def _episodes_from_tfds(name: str, data_dir: str, split: str, num_parallel_reads):
-    import tensorflow_datasets as tfds
+    """TFDS-format episodes via the native TFRecord reader (no
+    tensorflow_datasets dependency — data/tfrecord_rlds.py); the tfds
+    package, when installed, is only a fallback for schemas the native
+    parser does not cover."""
+    from intact_tpu.data import tfrecord_rlds
 
-    builder = tfds.builder(name, data_dir=data_dir)
-    ds = builder.as_dataset(
-        split=split,
-        decoders={"steps": tfds.decode.SkipDecoding()},
-        read_config=tfds.ReadConfig(
-            skip_prefetch=True, num_parallel_calls_for_interleave_files=num_parallel_reads
-        ),
-        shuffle_files=True,
-    )
+    try:
+        return tfrecord_rlds.read_rlds_dataset(
+            data_dir, name, split=split, num_parallel_reads=num_parallel_reads
+        )
+    except Exception as native_err:
+        try:
+            import tensorflow_datasets as tfds
+        except ImportError:
+            raise native_err
 
-    def steps_to_traj(episode):
-        steps = episode["steps"]
-        return tf.nest.map_structure(lambda x: x, steps)
+        builder = tfds.builder(name, data_dir=data_dir)
+        ds = builder.as_dataset(
+            split=split,
+            decoders={"steps": tfds.decode.SkipDecoding()},
+            read_config=tfds.ReadConfig(
+                skip_prefetch=True,
+                num_parallel_calls_for_interleave_files=num_parallel_reads,
+            ),
+            shuffle_files=True,
+        )
 
-    return ds.map(steps_to_traj, num_parallel_calls=AUTOTUNE)
+        def steps_to_traj(episode):
+            steps = episode["steps"]
+            return tf.nest.map_structure(lambda x: x, steps)
+
+        return ds.map(steps_to_traj, num_parallel_calls=AUTOTUNE)
 
 
 def _episodes_from_npz_dir(path: Path):
@@ -123,15 +138,9 @@ def make_dataset_from_rlds(
     """-> (trajectory dataset, statistics dict). Trajectories are in the
     canonical layout after `standardize_fn`."""
     src = Path(data_dir) / name
-    use_tfds = False
-    try:
-        import tensorflow_datasets  # noqa: F401
-
-        use_tfds = (Path(data_dir) / name).exists() and any(
-            (Path(data_dir) / name).rglob("dataset_info.json")
-        )
-    except ImportError:
-        use_tfds = False
+    # TFDS on-disk layout is read natively (data/tfrecord_rlds.py) — no
+    # tensorflow_datasets needed; presence of dataset_info.json decides.
+    use_tfds = src.exists() and any(src.rglob("dataset_info.json"))
 
     if use_tfds:
         split = split or ("train[:95%]" if train else "train[95%:]")

@@ -1,0 +1,146 @@
+"""TFDS-path integration tests (VERDICT weak #6): write a tiny TFDS-format
+RLDS dataset to disk and drive the FULL production pipeline through the
+native TFRecord reader — the branch every real OXE run takes."""
+
+import numpy as np
+import pytest
+
+tf = pytest.importorskip("tensorflow")
+
+from intact_tpu.data import tfrecord_rlds  # noqa: E402
+
+
+def _bridge_episode(rng, T, hw=32):
+    return {
+        "observation": {
+            "image_0": rng.integers(0, 255, (T, hw, hw, 3), dtype=np.uint8),
+            "state": rng.normal(size=(T, 7)).astype(np.float32),
+        },
+        "action": rng.normal(size=(T, 7)).astype(np.float32) * 0.05 + 0.5,
+        "language_instruction": np.array(["put the carrot on the plate"] * T),
+    }
+
+
+@pytest.fixture(scope="module")
+def tfds_dir(tmp_path_factory):
+    rng = np.random.default_rng(0)
+    episodes = [_bridge_episode(rng, T) for T in (8, 6, 10, 7)]
+    root = tmp_path_factory.mktemp("tfds_data")
+    tfrecord_rlds.write_rlds_dataset(
+        root, "bridge_dataset", episodes, num_shards=2
+    )
+    return root, episodes
+
+
+class TestNativeReader:
+    def test_roundtrip_trajectories(self, tfds_dir):
+        root, episodes = tfds_dir
+        ds = tfrecord_rlds.read_rlds_dataset(root, "bridge_dataset",
+                                             split="train", shuffle_files=False)
+        got = list(ds.as_numpy_iterator())
+        assert len(got) == 4
+        lengths = sorted(t["action"].shape[0] for t in got)
+        assert lengths == [6, 7, 8, 10]
+        t0 = got[0]
+        assert t0["action"].shape[-1] == 7
+        assert t0["observation"]["state"].shape[-1] == 7
+        # images come back as one encoded byte string per step
+        assert t0["observation"]["image_0"].dtype.kind in ("S", "O")
+        img = tf.io.decode_png(t0["observation"]["image_0"][0]).numpy()
+        assert img.shape == (32, 32, 3)
+        assert t0["language_instruction"][0] == b"put the carrot on the plate"
+
+    def test_png_content_roundtrip(self, tfds_dir):
+        root, episodes = tfds_dir
+        ds = tfrecord_rlds.read_rlds_dataset(root, "bridge_dataset",
+                                             split="train", shuffle_files=False)
+        got = {t["action"].shape[0]: t for t in ds.as_numpy_iterator()}
+        for ep in episodes:
+            T = ep["action"].shape[0]
+            dec = tf.io.decode_png(got[T]["observation"]["image_0"][0]).numpy()
+            np.testing.assert_array_equal(dec, ep["observation"]["image_0"][0])
+            np.testing.assert_allclose(got[T]["action"], ep["action"], rtol=1e-6)
+
+    def test_percent_slices_are_disjoint(self, tfds_dir):
+        root, _ = tfds_dir
+        tr = list(tfrecord_rlds.read_rlds_dataset(
+            root, "bridge_dataset", split="train[:50%]", shuffle_files=False
+        ).as_numpy_iterator())
+        va = list(tfrecord_rlds.read_rlds_dataset(
+            root, "bridge_dataset", split="train[50%:]", shuffle_files=False
+        ).as_numpy_iterator())
+        assert len(tr) + len(va) == 4 and len(tr) > 0 and len(va) > 0
+
+    def test_missing_dataset_raises(self, tmp_path):
+        with pytest.raises(FileNotFoundError):
+            tfrecord_rlds.read_rlds_dataset(tmp_path, "nope")
+
+
+class TestFullPipelineOverTfds:
+    def test_interleaved_batches_from_tfds_layout(self, tfds_dir):
+        """End-to-end: oxe kwargs (bridge standardize incl. relabel+binarize)
+        -> native TFRecord read -> normalize -> chunk -> flatten -> decode ->
+        batch, exactly the path a real OXE run takes."""
+        from intact_tpu.data.oxe import make_oxe_dataset_kwargs_and_weights
+        from intact_tpu.data.rlds import make_interleaved_dataset
+
+        root, _ = tfds_dir
+        kwargs_list, weights = make_oxe_dataset_kwargs_and_weights("bridge", str(root))
+        for kw in kwargs_list:
+            kw.pop("load_proprio", None)
+        ds, total, stats = make_interleaved_dataset(
+            kwargs_list, weights,
+            train=True,
+            shuffle_buffer_size=16,
+            window_size=1,
+            action_horizon=2,
+            resize_size=(24, 24),
+            batch_size=3,
+            seed=0,
+        )
+        batch = next(iter(ds.as_numpy_iterator()))
+        img = batch["observation"]["image_primary"]
+        assert img.shape == (3, 1, 24, 24, 3) and img.dtype == np.uint8
+        assert batch["action"].shape == (3, 1, 2, 7)
+        assert batch["observation"]["proprio"].shape == (3, 1, 7)
+        assert b"carrot" in batch["task"]["language_instruction"][0]
+        assert stats["bridge_dataset"]["num_transitions"] > 0
+
+
+class TestRlds2Lerobot:
+    def test_export_layout_and_readback(self, tfds_dir, tmp_path):
+        import importlib.util
+        import json
+
+        spec = importlib.util.spec_from_file_location(
+            "rlds2lerobot",
+            str(__import__("pathlib").Path(__file__).parent.parent
+                / "scripts/dataset/rlds2lerobot.py"),
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+
+        root, episodes = tfds_dir
+        out = tmp_path / "lerobot"
+        info = mod.export(
+            mod.iter_rlds_episodes(str(root), "bridge_dataset", limit=None),
+            out, fps=5.0,
+        )
+        assert info["total_episodes"] == 4
+        assert info["total_frames"] == sum(e["action"].shape[0] for e in episodes)
+        assert (out / "meta/info.json").exists()
+        assert (out / "meta/tasks.jsonl").exists()
+        tasks = [json.loads(line) for line in (out / "meta/tasks.jsonl").read_text().splitlines()]
+        assert tasks[0]["task"] == "put the carrot on the plate"
+
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(out / "data/chunk-000/episode_000000.parquet")
+        assert {"observation.images.top", "observation.state", "action",
+                "timestamp", "frame_index", "episode_index", "index",
+                "task_index"} <= set(t.column_names)
+        import tensorflow as tf2
+
+        png = t["observation.images.top"][0].as_py()
+        img = tf2.io.decode_png(png).numpy()
+        assert img.shape == (32, 32, 3)
