@@ -329,15 +329,11 @@ def pi0_config_from_json(d: dict):
 
 def optimizer_config_from_model_json(d: dict, pipeline: TrainPipelineConfig):
     """Model-JSON optimizer hyperparams -> train.optim.OptimizerConfig
-    (reference keeps optimizer lr/betas/eps/wd + scheduler in the model JSON)."""
+    (reference keeps optimizer lr/betas/eps/wd + scheduler in the model
+    JSON). grad_accumulation_steps is left at 1 — only the trainer knows
+    the mesh's per-step batch capacity and overrides it."""
     from intact_tpu.train.optim import OptimizerConfig
 
-    accum = max(
-        1,
-        pipeline.global_batch_size
-        // max(1, pipeline.per_device_batch_size)
-        // 1,  # per-host device count is applied by the trainer
-    )
     first_cycle = int(d.get("scheduler_decay_steps", pipeline.n_updates or 30_000))
     warmup = min(int(d.get("scheduler_warmup_steps", 200)), max(first_cycle - 1, 0))
     return OptimizerConfig(
@@ -349,5 +345,4 @@ def optimizer_config_from_model_json(d: dict, pipeline: TrainPipelineConfig):
         warmup_steps=warmup,
         first_cycle_steps=first_cycle,
         min_lr=float(d.get("scheduler_decay_lr", 1e-8)),
-        grad_accumulation_steps=accum,
     )

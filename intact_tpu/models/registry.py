@@ -63,6 +63,28 @@ def _register_builtin() -> None:
         module="intact_tpu.models.octo.model",
         policy="intact_tpu.serve.policy_wrapper.OctoPolicyWrapper",
     )
+    # released-checkpoint serving path (rail-berkeley/octo-{small,base}):
+    # upstream architecture + weight import, models/octo/upstream.py
+    from intact_tpu.models.octo.upstream import (
+        OctoUpstreamConfig,
+        octo_base,
+        octo_small,
+    )
+
+    register(
+        "octo_small_upstream",
+        config_cls=OctoUpstreamConfig,
+        default_config=octo_small,
+        module="intact_tpu.models.octo.upstream",
+        policy="intact_tpu.serve.policy_wrapper.OctoPolicyWrapper",
+    )
+    register(
+        "octo_base_upstream",
+        config_cls=OctoUpstreamConfig,
+        default_config=octo_base,
+        module="intact_tpu.models.octo.upstream",
+        policy="intact_tpu.serve.policy_wrapper.OctoPolicyWrapper",
+    )
 
     register(
         "mvla",

@@ -105,25 +105,43 @@ class OctoPolicyWrapper(BasePolicyWrapper):
     def __init__(self, config, model_cfg=None):
         super().__init__(config)
         import functools
+        import importlib
         from collections import deque
 
         import jax
         import jax.numpy as jnp
 
-        from intact_tpu.models.octo import model as octo_model
+        from intact_tpu.models import registry as model_registry
         from intact_tpu.models.tokenizer import make_tokenizer
 
         self.model_cfg = model_cfg or config.make_model_config()
         cfg = self.model_cfg
-        self._jnp, self._jax = jnp, jax
-        self.params = jax.jit(lambda k: octo_model.init(k, cfg))(jax.random.key(config.seed))
-        self.tokenizer = make_tokenizer(
-            config.resolve_tokenizer_path(), cfg.max_lang_tokens, vocab_size=cfg.vocab_size
+        self._upstream = "upstream" in config.model_type
+        self.model = importlib.import_module(
+            model_registry.get(config.model_type)["module"]
         )
+        self._jnp, self._jax = jnp, jax
+        self.params = jax.jit(lambda k: self.model.init(k, cfg))(jax.random.key(config.seed))
+        vocab = cfg.t5.vocab_size if self._upstream else cfg.vocab_size
+        # upstream octo conditions on the t5-base tokenizer; canonical hub
+        # name as the default asset, hash fallback only when unconfigured
+        tok_path = config.resolve_tokenizer_path() or (
+            "t5-base" if self._upstream else None
+        )
+        try:
+            self.tokenizer = make_tokenizer(tok_path, cfg.max_lang_tokens, vocab_size=vocab)
+        except RuntimeError:
+            if tok_path != "t5-base":
+                raise  # explicit asset failed -> loud (tokenizer.py policy)
+            self.logger.warning(
+                "t5-base tokenizer asset unavailable; falling back to the "
+                "hermetic hash tokenizer (NOT t5-vocab-compatible)"
+            )
+            self.tokenizer = make_tokenizer("hash", cfg.max_lang_tokens, vocab_size=vocab)
         self._history = deque(maxlen=cfg.history)
         self._rng = jax.random.key(config.seed)
         self._sample = jax.jit(
-            functools.partial(octo_model.sample_actions, cfg=cfg)
+            functools.partial(self.model.sample_actions, cfg=cfg)
         )
         path = config.eval_cfg.pretrained_model_path
         if path:
@@ -134,9 +152,18 @@ class OctoPolicyWrapper(BasePolicyWrapper):
         self._history.clear()
 
     def switch_model(self, new_model_path: str) -> None:
-        from intact_tpu.train import checkpoint as ckpt_lib
+        """Orbax step dirs for own-trained checkpoints; released Octo
+        snapshots (msgpack/orbax flax trees) go through the upstream
+        converter (models/octo/upstream.py, reference
+        policy_wrapper.py:356-371)."""
+        if self._upstream:
+            from intact_tpu.models.octo.upstream import load_octo_checkpoint
 
-        self.params = ckpt_lib.restore_params(new_model_path, self.params)
+            self.params = load_octo_checkpoint(new_model_path, self.model_cfg)
+        else:
+            from intact_tpu.train import checkpoint as ckpt_lib
+
+            self.params = ckpt_lib.restore_params(new_model_path, self.params)
         self.reset()
 
     def select_action(self, obs: dict) -> "np.ndarray":
@@ -257,6 +284,8 @@ def make_policy_wrapper(config):
         "mvla_tiny": Pi0PolicyWrapper,
         "octo": OctoPolicyWrapper,
         "octo_tiny": OctoPolicyWrapper,
+        "octo_small_upstream": OctoPolicyWrapper,
+        "octo_base_upstream": OctoPolicyWrapper,
         "spatialvla": SpatialVLAPolicyWrapper,
         "magma": MagmaPolicyWrapper,
     }

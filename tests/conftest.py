@@ -7,6 +7,10 @@ TPU hardware.
 
 import os
 
+# zero-egress environment: make HF hub lookups fail immediately instead of
+# retrying DNS for minutes
+os.environ.setdefault("HF_HUB_OFFLINE", "1")
+
 # Force CPU: the host environment pins JAX_PLATFORMS=axon (a tunneled TPU
 # whose first compile is slow) and its sitecustomize re-applies the platform
 # through jax.config at interpreter start, so the env var alone is not
