@@ -33,9 +33,11 @@ PER_DEVICE_BASELINE_TRAIN_SAMPLES_PER_SEC = 22_705 * 1024 / (44 * 3600) / 4
 
 
 def bench_train(args) -> int:
-    """Training-step throughput: Pi0 bridge, expert-only fine-tune
-    (train_expert_only — frozen 3B VLM in bf16, fp32 Adam on the ~300M
-    expert + heads), remat on, one chip."""
+    """Training-step throughput: Pi0 bridge, expert-only fine-tune with the
+    TRAINER'S precision policy (train/trainer.py mixed fine-tune precision):
+    frozen 3B VLM stored bf16 (no optimizer state), trainable ~300M expert +
+    heads in fp32 masters with fp32 Adam moments, bf16 compute, remat on,
+    one chip."""
     import dataclasses
 
     import jax
@@ -53,22 +55,29 @@ def bench_train(args) -> int:
     cfg = Pi0Config.tiny() if args.tiny else Pi0Config.bridge()
     cfg = dataclasses.replace(cfg, train_expert_only=True)
     policy = cm.DtypePolicy(
-        param_dtype=jnp.bfloat16 if not args.cpu else jnp.float32,
+        param_dtype=jnp.float32,
         compute_dtype=jnp.bfloat16 if not args.cpu else jnp.float32,
     )
     b = args.batch
     print(f"# train mode: device={jax.devices()[0]} batch={b}", file=sys.stderr)
 
     t0 = time.time()
-    params = jax.jit(
-        lambda k: jax.tree.map(lambda x: x.astype(policy.param_dtype), pi0.init(k, cfg))
-    )(jax.random.key(0))
-    jax.block_until_ready(params)
-
-    trainable = jax.tree.map(lambda _: False, params)
+    trainable = jax.tree.map(
+        lambda _: False,
+        jax.eval_shape(lambda k: pi0.init(k, cfg), jax.random.key(0)),
+    )
     for name in ["expert", "state_proj", "action_in_proj", "time_mlp_in",
                  "time_mlp_out", "action_out_proj"]:
         trainable[name] = jax.tree.map(lambda _: True, trainable[name])
+
+    frozen_dtype = jnp.float32 if args.cpu else jnp.bfloat16
+    params = jax.jit(
+        lambda k: jax.tree.map(
+            lambda x, t: x if t else x.astype(frozen_dtype),
+            pi0.init(k, cfg), trainable,
+        )
+    )(jax.random.key(0))
+    jax.block_until_ready(params)
     tx, _ = make_optimizer(
         OptimizerConfig(lr=5e-5, warmup_steps=10, first_cycle_steps=10_000),
         frozen_mask=trainable,
@@ -128,13 +137,17 @@ def main() -> int:
     ap.add_argument("--warmup", type=int, default=2)
     ap.add_argument("--tiny", action="store_true", help="tiny model (smoke)")
     ap.add_argument("--cpu", action="store_true")
-    ap.add_argument("--attention", choices=["xla", "pallas"], default="xla")
+    ap.add_argument("--attention", choices=["xla", "pallas"], default="pallas")
     ap.add_argument("--int8", action="store_true",
                     help="W8A8 dynamic-quant serving (block matmuls on the int8 MXU)")
     ap.add_argument("--mode", choices=["serve", "train"], default="serve",
                     help="train: expert-only fine-tune step throughput")
     args = ap.parse_args()
     if args.mode == "train":
+        # largest batch that fits the honest fine-tune policy (bf16 frozen
+        # VLM + fp32 expert masters/moments + remat) in 16 GB HBM
+        if args.batch == 64:
+            args.batch = 12
         return bench_train(args)
 
     import jax

@@ -39,7 +39,7 @@ class MVLAConfig:
     time_scale: float = 0.999
     time_offset: float = 0.001
 
-    attention_impl: str = "xla"
+    attention_impl: str = "pallas"
     freeze_vision_encoder: bool = False
     train_expert_only: bool = False
 

@@ -38,7 +38,7 @@ class Pi0Config:
     time_min_period: float = 4e-3
     time_max_period: float = 4.0
 
-    attention_impl: str = "xla"  # "xla" | "pallas"
+    attention_impl: str = "pallas"  # "pallas" (TPU default, 358.6 vs 356.3 steps/s xla on v5e) | "xla"
 
     # freezing (reference trainer.py:109-123 semantics)
     freeze_vision_encoder: bool = False

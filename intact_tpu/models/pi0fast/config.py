@@ -35,7 +35,7 @@ class Pi0FASTConfig:
     action_low: float = -3.0   # normalized-action clip range for binning
     action_high: float = 3.0
 
-    attention_impl: str = "xla"
+    attention_impl: str = "pallas"
     freeze_vision_encoder: bool = False
     train_expert_only: bool = False
 

@@ -49,6 +49,39 @@ def xla_attention(
     return out
 
 
+import functools
+
+import numpy as np
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def pallas_attention_diff(q, k, v, mask, scale, interpret=False):
+    """Flash forward + XLA-math backward: the Pallas kernel has no native
+    VJP, so training paths differentiate through the (mathematically
+    identical) einsum attention while inference keeps the fused kernel."""
+    from intact_tpu.ops.pallas_attention import flash_attention
+
+    return flash_attention(q, k, v, mask=mask, scale=scale, interpret=interpret)
+
+
+def _pallas_fwd(q, k, v, mask, scale, interpret):
+    out = pallas_attention_diff(q, k, v, mask, scale, interpret)
+    return out, (q, k, v, mask)
+
+
+def _pallas_bwd(scale, interpret, res, g):
+    q, k, v, mask = res
+    _, vjp = jax.vjp(lambda q_, k_, v_: xla_attention(q_, k_, v_, mask, scale), q, k, v)
+    dq, dk, dv = vjp(g)
+    dmask = (
+        None if mask is None else np.zeros(mask.shape, dtype=jax.dtypes.float0)
+    )
+    return dq, dk, dv, dmask
+
+
+pallas_attention_diff.defvjp(_pallas_fwd, _pallas_bwd)
+
+
 def multi_head_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -58,13 +91,11 @@ def multi_head_attention(
     scale: float | None = None,
 ) -> jnp.ndarray:
     if impl == "pallas":
-        try:
-            from intact_tpu.ops.pallas_attention import flash_attention
-
-            return flash_attention(q, k, v, mask=mask, scale=scale)
-        except Exception:
-            # off-TPU (tests) or unsupported shape: correctness first
+        if jax.default_backend() != "tpu":
+            # off-TPU (CPU tests, virtual meshes): XLA path, same numerics
             return xla_attention(q, k, v, mask, scale)
+        scale = q.shape[-1] ** -0.5 if scale is None else scale
+        return pallas_attention_diff(q, k, v, mask, scale, False)
     if impl != "xla":
         raise ValueError(f"unknown attention impl: {impl!r}")
     return xla_attention(q, k, v, mask, scale)

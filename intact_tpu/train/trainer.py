@@ -181,14 +181,31 @@ class Trainer:
         frozen_mask = self._freeze_mask(params_template)
         self.tx, self.lr_schedule = make_optimizer(opt_cfg, frozen_mask)
 
+        # Mixed fine-tune precision: frozen subtrees carry no optimizer state
+        # and never update, so fp32 masters buy nothing — store them bf16
+        # (compute is bf16 anyway) and keep fp32 only on trainable leaves.
+        # Halves HBM for the frozen 3B VLM in expert-only fine-tunes; this is
+        # also exactly what bench.py --mode train measures.
+        if frozen_mask is not None and cfg.use_bf16:
+            def _cast(x, trainable):
+                return x if trainable else x.astype(jnp.bfloat16)
+
+            def model_init(k):
+                return jax.tree.map(
+                    _cast, self.model.init(k, self.model_cfg), frozen_mask
+                )
+
+            params_template = jax.eval_shape(model_init, jax.random.key(cfg.seed))
+        else:
+            def model_init(k):
+                return self.model.init(k, self.model_cfg)
+
         # ---- params: init sharded on the mesh (never materialized on one
         # device — jit with out_shardings does a sharded init) ----
         from intact_tpu.parallel.sharding import param_shardings
 
         p_shardings = param_shardings(params_template, self.mesh)
-        init_fn = jax.jit(
-            lambda k: self.model.init(k, self.model_cfg), out_shardings=p_shardings
-        )
+        init_fn = jax.jit(model_init, out_shardings=p_shardings)
         params = init_fn(jax.random.key(cfg.seed))
 
         state = init_train_state(params, self.tx, seed=cfg.seed)

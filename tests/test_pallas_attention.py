@@ -59,3 +59,39 @@ class TestPallasAttention:
         ref = xla_attention(q, k, v, None)
         out = multi_head_attention(q, k, v, None, impl="pallas")
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+class TestPallasVJP:
+    def test_grad_matches_xla(self):
+        """pallas_attention_diff (flash fwd, XLA-math bwd) produces the same
+        gradients as differentiating the einsum path directly."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from intact_tpu.ops.attention import pallas_attention_diff, xla_attention
+
+        rng = np.random.default_rng(0)
+        b, t, h, kvh, d = 2, 5, 4, 2, 8
+        q = jnp.asarray(rng.normal(size=(b, t, h, d)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(b, t, kvh, d)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(b, t, kvh, d)), jnp.float32)
+        mask = jnp.asarray(rng.random((b, t, t)) > 0.3)
+        scale = d**-0.5
+
+        def loss_pallas(q_, k_, v_):
+            return pallas_attention_diff(q_, k_, v_, mask, scale, True).sum()
+
+        def loss_xla(q_, k_, v_):
+            return xla_attention(q_, k_, v_, mask, scale).sum()
+
+        out_p = pallas_attention_diff(q, k, v, mask, scale, True)
+        out_x = xla_attention(q, k, v, mask, scale)
+        np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x),
+                                   rtol=1e-4, atol=1e-5)
+
+        gp = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+        gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+        for a, b_ in zip(gp, gx):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=1e-4, atol=1e-5)
