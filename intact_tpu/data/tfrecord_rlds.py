@@ -225,17 +225,19 @@ def _strip_steps(tree: dict) -> dict:
 def write_rlds_dataset(
     out_dir: str | Path,
     name: str,
-    episodes: list[dict],
+    episodes,
     *,
     split: str = "train",
     num_shards: int = 1,
     image_keys: tuple[str, ...] = ("image_0",),
     version: str = "1.0.0",
+    image_encoding: str = "png",  # "png" | "jpeg"
 ) -> Path:
     """Write trajectories as TFDS-layout TFRecord shards + metadata.
 
-    episodes: list of {observation: {...}, action: [T, d], ...} numpy trees.
-    Images (uint8 [T, H, W, 3]) are PNG-encoded per frame. Used by the tfds
+    episodes: iterable of {observation: {...}, action: [T, d], ...} numpy
+    trees (a list or a generator — generators stream, sharding round-robin).
+    uint8 [T, H, W, 3] images are encoded per frame. Used by the tfds
     integration tests and the offline dataset tooling (the writer half of
     the reference's multithreaded adhoc TFDS builder,
     `src/data/oxe/preprocess/multithreaded_adhoc_tfds_builder.py`).
@@ -251,11 +253,14 @@ def write_rlds_dataset(
             else:
                 yield key, np.asarray(v)
 
+    it = iter(episodes)
+    first_episode = next(it)
+
     # features.json from the first episode
     features: dict = {"pythonClassName": "tensorflow_datasets.core.features.features_dict.FeaturesDict",
                       "featuresDict": {"features": {}}}
     steps_features: dict = {}
-    first = dict(flatten({"steps": episodes[0]}))
+    first = dict(flatten({"steps": first_episode}))
     for key, arr in first.items():
         sub = key.split("/")[1:]  # strip leading "steps"
         leaf = "/".join(sub)
@@ -300,41 +305,55 @@ def write_rlds_dataset(
     }
     (ds_dir / "features.json").write_text(json.dumps(features, indent=1))
 
-    # shards
-    per_shard = [len(episodes) // num_shards] * num_shards
-    for i in range(len(episodes) % num_shards):
-        per_shard[i] += 1
-    idx = 0
-    for shard_i, count in enumerate(per_shard):
-        fname = ds_dir / f"{name}-{split}.tfrecord-{shard_i:05d}-of-{num_shards:05d}"
-        with tf.io.TFRecordWriter(str(fname)) as w:
-            for ep in episodes[idx: idx + count]:
-                feats = {}
-                for key, arr in flatten({"steps": ep}):
-                    sub = key.split("/")[1:]
-                    is_img = sub[-1] in image_keys or sub[-1].startswith("image")
-                    if is_img and arr.dtype == np.uint8:
-                        vals = [tf.io.encode_png(frame).numpy() for frame in arr]
-                        feats[key] = tf.train.Feature(
-                            bytes_list=tf.train.BytesList(value=vals)
-                        )
-                    elif arr.dtype.kind in ("S", "U", "O"):
-                        vals = [s.encode() if isinstance(s, str) else bytes(s) for s in arr]
-                        feats[key] = tf.train.Feature(
-                            bytes_list=tf.train.BytesList(value=vals)
-                        )
-                    elif arr.dtype.kind in ("i", "u", "b"):
-                        feats[key] = tf.train.Feature(
-                            int64_list=tf.train.Int64List(value=arr.reshape(-1).astype(np.int64))
-                        )
-                    else:
-                        feats[key] = tf.train.Feature(
-                            float_list=tf.train.FloatList(value=arr.reshape(-1).astype(np.float32))
-                        )
-                w.write(tf.train.Example(
-                    features=tf.train.Features(feature=feats)
-                ).SerializeToString())
-        idx += count
+    # shards: streamed round-robin so generator inputs never materialize
+    encode_img = tf.io.encode_png if image_encoding == "png" else (
+        lambda fr: tf.io.encode_jpeg(fr, quality=95)
+    )
+
+    def serialize(ep) -> bytes:
+        feats = {}
+        for key, arr in flatten({"steps": ep}):
+            sub = key.split("/")[1:]
+            is_img = sub[-1] in image_keys or sub[-1].startswith("image")
+            if is_img and arr.dtype == np.uint8 and arr.ndim >= 3:
+                vals = [encode_img(frame).numpy() for frame in arr]
+                feats[key] = tf.train.Feature(
+                    bytes_list=tf.train.BytesList(value=vals)
+                )
+            elif arr.dtype.kind in ("S", "U", "O"):
+                vals = [s.encode() if isinstance(s, str) else bytes(s) for s in arr]
+                feats[key] = tf.train.Feature(
+                    bytes_list=tf.train.BytesList(value=vals)
+                )
+            elif arr.dtype.kind in ("i", "u", "b"):
+                feats[key] = tf.train.Feature(
+                    int64_list=tf.train.Int64List(value=arr.reshape(-1).astype(np.int64))
+                )
+            else:
+                feats[key] = tf.train.Feature(
+                    float_list=tf.train.FloatList(value=arr.reshape(-1).astype(np.float32))
+                )
+        return tf.train.Example(
+            features=tf.train.Features(feature=feats)
+        ).SerializeToString()
+
+    writers = [
+        tf.io.TFRecordWriter(str(
+            ds_dir / f"{name}-{split}.tfrecord-{i:05d}-of-{num_shards:05d}"
+        ))
+        for i in range(num_shards)
+    ]
+    per_shard = [0] * num_shards
+    try:
+        import itertools
+
+        for idx, ep in enumerate(itertools.chain([first_episode], it)):
+            shard = idx % num_shards
+            writers[shard].write(serialize(ep))
+            per_shard[shard] += 1
+    finally:
+        for w in writers:
+            w.close()
 
     (ds_dir / "dataset_info.json").write_text(json.dumps({
         "name": name,

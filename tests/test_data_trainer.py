@@ -152,3 +152,40 @@ class TestTrainerEndToEnd:
         p_old = trainer.state.params["expert"]["final_norm"]["scale"]
         p_new = trainer2.state.params["expert"]["final_norm"]["scale"]
         np.testing.assert_array_equal(np.asarray(p_old), np.asarray(p_new))
+
+
+class TestMixedFinetunePrecision:
+    def test_frozen_subtrees_stored_bf16(self, tmp_path, monkeypatch):
+        """With use_bf16 + freeze flags, frozen params (no optimizer state,
+        bf16 compute anyway) are stored bf16; trainable leaves keep fp32
+        masters — the policy bench.py --mode train measures."""
+        import jax.numpy as jnp
+
+        from intact_tpu.config import pipeline as cp
+        from intact_tpu.models.pi0.config import Pi0Config
+        import dataclasses as _dc
+
+        monkeypatch.setattr(
+            cp, "pi0_config_from_json",
+            lambda d: _dc.replace(Pi0Config.tiny(), train_expert_only=True),
+        )
+        from intact_tpu.train.trainer import Trainer
+
+        cfg = TrainPipelineConfig(
+            name="mixed_prec",
+            model_cfg={"type": "pi0"},
+            global_batch_size=2,
+            per_device_batch_size=1,
+            n_updates=1,
+            use_bf16=True,
+        )
+        cfg.log_dir = tmp_path
+        trainer = Trainer(cfg)
+        p = trainer.state.params
+        assert p["vlm"]["blocks"]["attn"]["q"]["kernel"].dtype == jnp.bfloat16
+        assert p["siglip"]["patch_embed"]["kernel"].dtype == jnp.bfloat16
+        assert p["expert"]["blocks"]["attn"]["q"]["kernel"].dtype == jnp.float32
+        assert p["action_out_proj"]["kernel"].dtype == jnp.float32
+        # one step still runs
+        trainer.train()
+        assert trainer.cnt_update == 1

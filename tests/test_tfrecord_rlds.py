@@ -144,3 +144,58 @@ class TestRlds2Lerobot:
         png = t["observation.images.top"][0].as_py()
         img = tf2.io.decode_png(png).numpy()
         assert img.shape == (32, 32, 3)
+
+
+class TestModifyRldsDataset:
+    def test_resize_and_reencode_roundtrip(self, tfds_dir, tmp_path):
+        """Full offline modification: read -> decode -> resize -> jpeg
+        shards, then the modified dataset reads back through the same
+        production reader."""
+        from intact_tpu.data.preprocess import modify_rlds_dataset
+
+        root, episodes = tfds_dir
+        out = tmp_path / "resize_16"
+        modify_rlds_dataset(
+            root, "bridge_dataset", out, ["resize_and_jpeg_encode"],
+            num_workers=2, num_shards=2, image_size=16,
+        )
+        ds = tfrecord_rlds.read_rlds_dataset(out, "bridge_dataset",
+                                             split="train", shuffle_files=False)
+        got = list(ds.as_numpy_iterator())
+        assert len(got) == 4
+        img = tf.io.decode_image(got[0]["observation"]["image_0"][0]).numpy()
+        assert img.shape == (16, 16, 3)
+        # non-image features pass through untouched
+        lengths = sorted(t["action"].shape[0] for t in got)
+        assert lengths == [6, 7, 8, 10]
+
+    def test_proprio_conversion_inverts(self):
+        from intact_tpu.data.preprocess import (
+            proprio_euler_to_quat,
+            proprio_quat_to_euler,
+        )
+
+        rng = np.random.default_rng(0)
+        p7 = np.concatenate(
+            [rng.normal(size=(5, 3)), rng.uniform(-1.2, 1.2, (5, 3)),
+             rng.uniform(0, 1, (5, 1))], axis=-1,
+        ).astype(np.float32)
+        ep = {"observation": {"proprio": p7}, "action": np.zeros((5, 7))}
+        back = proprio_quat_to_euler(proprio_euler_to_quat(ep))
+        np.testing.assert_allclose(
+            back["observation"]["proprio"], p7, atol=1e-5
+        )
+
+    def test_same_dir_refused(self, tfds_dir):
+        from intact_tpu.data.preprocess import modify_rlds_dataset
+
+        root, _ = tfds_dir
+        with pytest.raises(ValueError, match="overwrite"):
+            modify_rlds_dataset(root, "bridge_dataset", root, ["resize"])
+
+    def test_unknown_mod_raises(self, tfds_dir, tmp_path):
+        from intact_tpu.data.preprocess import modify_rlds_dataset
+
+        root, _ = tfds_dir
+        with pytest.raises(KeyError, match="unknown mod"):
+            modify_rlds_dataset(root, "bridge_dataset", tmp_path / "x", ["nope"])
