@@ -1,0 +1,156 @@
+"""End-to-end serving throughput: continuous-batching server + N websocket
+clients + Pi0-3B on the chip.
+
+Unlike bench.py (pure device throughput), this measures the WHOLE serving
+stack — msgpack wire, per-connection adapters, request fusing into bucketed
+device batches — i.e. the north-star configuration (BASELINE.md: >=1000
+aggregate policy steps/s on a v5e-8; per chip target 125).
+
+Prints ONE JSON line like bench.py.
+
+Usage:
+  python scripts/bench_serving.py --clients 32 --seconds 30
+  python scripts/bench_serving.py --tiny --cpu --clients 4 --seconds 5  # smoke
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import threading
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+PER_CHIP_BASELINE = 1000.0 / 8.0
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--clients", type=int, default=32)
+    ap.add_argument("--seconds", type=float, default=30.0)
+    ap.add_argument("--max-batch", type=int, default=32)
+    ap.add_argument("--timeout-ms", type=float, default=10.0)
+    ap.add_argument("--port", type=int, default=18900)
+    ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--int8", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from intact_tpu.config.pipeline import (
+        EnvConfig,
+        EvalConfig,
+        TrainPipelineConfig,
+    )
+    from intact_tpu.serve.batching import BatchingPolicyServer
+    from intact_tpu.serve.policy_wrapper import Pi0PolicyWrapper
+
+    cfg = TrainPipelineConfig(
+        name="bench_serving",
+        model_cfg={"type": "pi0_tiny" if args.tiny else "pi0"},
+        use_bf16=not args.cpu,
+        tokenizer_path="hash",  # hermetic: instruction text is synthetic
+        eval_cfg=EvalConfig(
+            simulator_name="simpler",
+            env_adapter="BridgeSimplerAdapter",
+            recording=False,
+            port=args.port,
+            action_step=4,
+            max_batch_size=args.max_batch,
+            batch_timeout_ms=args.timeout_ms,
+        ),
+        env=EnvConfig(
+            dataset_statistics_path=str(REPO / "config/dataset/bridge_statistics.json"),
+            image_size=(28, 28) if args.tiny else (224, 224),
+        ),
+    )
+
+    t0 = time.time()
+    wrapper = Pi0PolicyWrapper(cfg)
+    if args.int8:
+        import jax.numpy as jnp  # noqa: F401
+
+        from intact_tpu.models import common as cm
+
+        wrapper.policy.params = jax.jit(cm.quantize_params)(wrapper.policy.params)
+    server = BatchingPolicyServer(
+        wrapper.policy, cfg, host="127.0.0.1", port=args.port,
+        metadata={"model": "pi0"}, max_batch_size=args.max_batch,
+        batch_timeout_ms=args.timeout_ms, prewarm=True,
+    )
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    print(f"# model init {time.time()-t0:.1f}s; prewarming buckets...", file=sys.stderr)
+
+    from intact_tpu.protocol.websocket_policy_client import WebsocketPolicyClient
+
+    hw = 28 if args.tiny else 224
+    obs = {
+        "observation.images.top": np.random.default_rng(0).integers(
+            0, 255, (hw, hw, 3), dtype=np.uint8
+        ),
+        "observation.state": {
+            "agent": {"eef_pos": np.array([0.1, 0.2, 0.3, 1.0, 0, 0, 0, 0.8])}
+        },
+        "task": "put the carrot on the plate",
+    }
+
+    counts = [0] * args.clients
+    latencies: list[float] = []
+    stop = threading.Event()
+    ready = threading.Barrier(args.clients + 1)
+
+    def client(i: int):
+        c = WebsocketPolicyClient("127.0.0.1", args.port, retry_interval_s=1.0)
+        c.infer(obs)  # connected + server warm
+        ready.wait()
+        while not stop.is_set():
+            t = time.time()
+            c.infer(obs)
+            latencies.append(time.time() - t)
+            counts[i] += 1
+
+    threads = [threading.Thread(target=client, args=(i,), daemon=True)
+               for i in range(args.clients)]
+    for t in threads:
+        t.start()
+    ready.wait()  # all clients connected and server compiled
+    print("# clients connected; measuring...", file=sys.stderr)
+    t_start = time.time()
+    time.sleep(args.seconds)
+    stop.set()
+    wall = time.time() - t_start
+    for t in threads:
+        t.join(timeout=30)
+
+    total_infers = sum(counts)
+    action_step = cfg.eval_cfg.action_step
+    steps_per_sec = total_infers * action_step / wall
+    lat = sorted(latencies)
+    p50 = lat[len(lat) // 2] if lat else float("nan")
+    p95 = lat[int(len(lat) * 0.95)] if lat else float("nan")
+    print(
+        f"# {total_infers} inferences from {args.clients} clients in {wall:.1f}s; "
+        f"client p50 {p50*1e3:.0f} ms p95 {p95*1e3:.0f} ms",
+        file=sys.stderr,
+    )
+    print(json.dumps({
+        "metric": "pi0_serving_aggregate_policy_steps_per_sec_per_chip",
+        "value": round(steps_per_sec, 2),
+        "unit": "policy_steps/s",
+        "vs_baseline": round(steps_per_sec / PER_CHIP_BASELINE, 3),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
