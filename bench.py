@@ -45,6 +45,10 @@ def bench_train(args) -> int:
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
+    from intact_tpu.utils.compile_cache import enable as enable_compile_cache
+
+    enable_compile_cache()
+
     import jax.numpy as jnp
 
     from intact_tpu.models import common as cm
@@ -154,6 +158,10 @@ def main() -> int:
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+
+    from intact_tpu.utils.compile_cache import enable as enable_compile_cache
+
+    enable_compile_cache()
 
     import jax.numpy as jnp
 

@@ -38,6 +38,10 @@ def main(argv: list[str] | None = None) -> int:
     cfg = build_config(argv if argv is not None else sys.argv[1:])
     logger = setup_logger(True, name="run")
 
+    from intact_tpu.utils.compile_cache import enable as enable_compile_cache
+
+    enable_compile_cache()
+
     if cfg.eval_cfg is None:
         from intact_tpu.train.trainer import Pi0Trainer
 

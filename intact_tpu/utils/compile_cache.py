@@ -1,0 +1,33 @@
+"""Persistent XLA compilation cache.
+
+A Pi0-3B serving graph compiles in ~15-300 s (tunnel-dependent); the cache
+makes every later process start in seconds. Call `enable()` before the
+first jit compile (idempotent; respects an existing
+JAX_COMPILATION_CACHE_DIR / explicit jax config). Opt out with
+INTACT_TPU_NO_COMPILE_CACHE=1.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+_DEFAULT = "~/.cache/intact_tpu/xla_cache"
+
+
+def enable(path: str | None = None) -> str | None:
+    if os.environ.get("INTACT_TPU_NO_COMPILE_CACHE"):
+        return None
+    import jax
+
+    current = jax.config.jax_compilation_cache_dir
+    if current:
+        return current
+    cache_dir = str(Path(
+        path or os.environ.get("JAX_COMPILATION_CACHE_DIR", _DEFAULT)
+    ).expanduser())
+    Path(cache_dir).mkdir(parents=True, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    # cache everything that takes meaningful time; tiny programs skip
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return cache_dir

@@ -47,6 +47,10 @@ def main() -> int:
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
+    from intact_tpu.utils.compile_cache import enable as enable_compile_cache
+
+    enable_compile_cache()
+
     from intact_tpu.config.pipeline import (
         EnvConfig,
         EvalConfig,

@@ -1,0 +1,132 @@
+"""Action-chunk parity gate (BASELINE.md: MSE < 1e-3 vs the released
+INTACT-pi0-finetune-bridge outputs).
+
+Two roles:
+  record   run OUR policy on a fixture's inputs and store its action chunks
+           (also usable to snapshot-regress our own checkpoints);
+  compare  run OUR policy on the fixture's inputs and score MSE against the
+           fixture's stored reference actions (recorded from the torch
+           reference via scripts in its repo, or from a previous `record`).
+
+Fixture format (single .npz):
+  images          float32 [N, K, H, W, 3] in [-1, 1]
+  state           float32 [N, state_dim]
+  lang_tokens     int32   [N, L]        (PaliGemma ids incl. the "\n" suffix)
+  lang_masks      bool    [N, L]
+  noise           float32 [N, chunk, action_dim]  (shared denoise start)
+  actions         float32 [N, chunk, action_dim]  (reference outputs; absent
+                                                   in input-only fixtures)
+
+Usage:
+  python scripts/eval/action_parity.py compare --fixture ref_fixture.npz \
+      --checkpoint /ckpts/pi0_bridge_converted [--model pi0]
+  python scripts/eval/action_parity.py record --fixture inputs.npz \
+      --out ours.npz --checkpoint ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent.parent
+sys.path.insert(0, str(REPO))
+
+MSE_GATE = 1e-3
+
+
+def run_policy(fix: dict, checkpoint: str | None, model_type: str,
+               use_bf16: bool) -> np.ndarray:
+    import jax
+    import jax.numpy as jnp
+
+    from intact_tpu.models import common as cm
+    from intact_tpu.models import registry
+    import importlib
+
+    entry = registry.get(model_type)
+    cfg = entry["default_config"]()
+    model = importlib.import_module(entry["module"])
+    policy = cm.SERVING_POLICY if use_bf16 else cm.DtypePolicy(
+        param_dtype=jnp.float32, compute_dtype=jnp.float32
+    )
+
+    if checkpoint:
+        from intact_tpu.models.pi0 import convert
+        from intact_tpu.train import checkpoint as ckpt_lib
+
+        path = Path(checkpoint)
+        if (path / "model.safetensors").exists() or path.suffix == ".safetensors":
+            params = convert.load_safetensors_checkpoint(path, cfg)
+            params = jax.tree.map(
+                lambda x: jnp.asarray(x, policy.param_dtype), params
+            )
+        else:
+            template = jax.eval_shape(lambda k: model.init(k, cfg), jax.random.key(0))
+            params = ckpt_lib.restore_params(str(path), template)
+            params = jax.tree.map(lambda x: x.astype(policy.param_dtype), params)
+    else:
+        params = jax.jit(lambda k: jax.tree.map(
+            lambda x: x.astype(policy.param_dtype), model.init(k, cfg)
+        ))(jax.random.key(0))
+
+    images = jnp.asarray(fix["images"])
+    b = images.shape[0]
+    img_masks = jnp.ones((b, images.shape[1]), bool)
+    state = np.zeros((b, cfg.max_state_dim), np.float32)
+    state[:, : fix["state"].shape[-1]] = fix["state"]
+    noise = None
+    if "noise" in fix:
+        noise = np.zeros((b, cfg.chunk_size, cfg.max_action_dim), np.float32)
+        noise[:, :, : fix["noise"].shape[-1]] = fix["noise"]
+        noise = jnp.asarray(noise)
+
+    actions = model.sample_actions(
+        params, jax.random.key(0), images, img_masks,
+        jnp.asarray(fix["lang_tokens"]), jnp.asarray(fix["lang_masks"]),
+        jnp.asarray(state), cfg, policy, noise=noise,
+    )
+    return np.asarray(actions, np.float32)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("role", choices=["record", "compare"])
+    ap.add_argument("--fixture", required=True)
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--model", default="pi0")
+    ap.add_argument("--out", default=None, help="record: output npz")
+    ap.add_argument("--fp32", action="store_true")
+    args = ap.parse_args()
+
+    fix = dict(np.load(args.fixture, allow_pickle=False))
+    ours = run_policy(fix, args.checkpoint, args.model, use_bf16=not args.fp32)
+
+    if args.role == "record":
+        out = args.out or args.fixture.replace(".npz", "_ours.npz")
+        np.savez(out, **{**fix, "actions": ours})
+        print(json.dumps({"recorded": out, "n": int(ours.shape[0])}))
+        return 0
+
+    if "actions" not in fix:
+        raise SystemExit("compare: fixture has no reference 'actions' array")
+    ref = np.asarray(fix["actions"], np.float32)
+    d = min(ref.shape[-1], ours.shape[-1])
+    h = min(ref.shape[1], ours.shape[1])
+    mse = float(((ours[:, :h, :d] - ref[:, :h, :d]) ** 2).mean())
+    result = {
+        "metric": "pi0_action_chunk_parity_mse",
+        "value": mse,
+        "gate": MSE_GATE,
+        "pass": mse < MSE_GATE,
+    }
+    print(json.dumps(result))
+    return 0 if result["pass"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

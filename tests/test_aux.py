@@ -69,3 +69,41 @@ class TestGates:
         initialize()  # no-op, must not raise
         out = process_mean({"loss": 1.5})
         assert out == {"loss": 1.5}
+
+
+class TestActionParityCLI:
+    def test_record_then_compare_self_passes(self, tmp_path, monkeypatch):
+        """record -> compare against own recording must pass the MSE gate
+        exactly (same params, same noise)."""
+        import importlib.util
+        import json as _json
+        from pathlib import Path
+
+        import numpy as np
+
+        spec = importlib.util.spec_from_file_location(
+            "action_parity",
+            str(Path(__file__).parent.parent / "scripts/eval/action_parity.py"),
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+
+        rng = np.random.default_rng(0)
+        from intact_tpu.models.pi0.config import Pi0Config
+
+        cfg = Pi0Config.tiny()
+        s = cfg.vision.image_size
+        fix = {
+            "images": rng.uniform(-1, 1, (2, 1, s, s, 3)).astype(np.float32),
+            "state": rng.normal(size=(2, 7)).astype(np.float32),
+            "lang_tokens": rng.integers(0, 100, (2, cfg.tokenizer_max_length)).astype(np.int32),
+            "lang_masks": np.ones((2, cfg.tokenizer_max_length), bool),
+            "noise": rng.normal(size=(2, cfg.chunk_size, cfg.max_action_dim)).astype(np.float32),
+        }
+        ours = mod.run_policy(fix, None, "pi0_tiny", use_bf16=False)
+        assert ours.shape == (2, cfg.chunk_size, cfg.max_action_dim)
+
+        fix["actions"] = ours
+        again = mod.run_policy(fix, None, "pi0_tiny", use_bf16=False)
+        mse = float(((again - ours) ** 2).mean())
+        assert mse < mod.MSE_GATE
