@@ -76,7 +76,32 @@ def dense(p: Params, x: jnp.ndarray, policy: DtypePolicy = DEFAULT_POLICY) -> jn
 def _dense_int8(p: Params, x: jnp.ndarray, policy: DtypePolicy) -> jnp.ndarray:
     """W8A8 dynamic-quant matmul: int8 weights (per-output-channel scales)
     x int8 activations (per-token scales) on the int8 MXU (~2x bf16 on v5e),
-    rescaled to compute dtype. Serving-only path (see quantize_dense)."""
+    rescaled to compute dtype. Serving-only path (see quantize_dense).
+
+    INTACT_TPU_PALLAS_INT8=1 opts into the fused Pallas kernel
+    (ops/pallas_int8.w8a8_matmul: quantize + dot + rescale in one VMEM
+    pipeline). It wins microbenchmarks (1.26x the XLA lowering at
+    M=1024 K=N=2048) but LOSES at full-model shapes (280 vs 510 policy
+    steps/s end to end on v5e) — some model shape hits a slow Mosaic
+    lowering — so the XLA path stays the default until that is profiled."""
+    import os
+
+    if (
+        os.environ.get("INTACT_TPU_PALLAS_INT8")
+        and jax.default_backend() == "tpu"
+        and p["kernel_q"].ndim == 2
+    ):
+        from intact_tpu.ops.pallas_int8 import w8a8_matmul
+
+        lead = x.shape[:-1]
+        y = w8a8_matmul(
+            x.reshape(-1, x.shape[-1]).astype(policy.compute_dtype),
+            p["kernel_q"], p["kernel_scale"],
+        ).reshape(*lead, -1)
+        if "bias" in p:
+            y = y + p["bias"].astype(policy.compute_dtype)
+        return y
+
     amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
     x_scale = jnp.maximum(amax, 1e-6) / 127.0
     xq = jnp.round(x.astype(jnp.float32) / x_scale).astype(jnp.int8)

@@ -67,3 +67,64 @@ class TestInt8Dense:
         err = float(jnp.abs(a_fp - a_q).max())
         assert err < 0.35, err
         assert jnp.isfinite(a_q).all()
+
+
+class TestPallasW8A8:
+    def test_matches_fp_and_xla_reference(self):
+        """Interpret-mode kernel vs fp32 matmul (quant tolerance) and vs an
+        exact numpy emulation of the per-(row, K-chunk) quantization."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from intact_tpu.models import common as cm
+        from intact_tpu.ops import pallas_int8
+
+        rng = np.random.default_rng(0)
+        m, k, n = 24, 160, 96  # deliberately non-multiples of the blocks
+        x = rng.normal(size=(m, k)).astype(np.float32)
+        w = rng.normal(size=(k, n)).astype(np.float32)
+        q = cm.quantize_dense({"kernel": jnp.asarray(w)})
+        wq = np.asarray(q["kernel_q"])
+        ws = np.asarray(q["kernel_scale"])
+
+        out = np.asarray(pallas_int8.w8a8_matmul(
+            jnp.asarray(x), jnp.asarray(wq), jnp.asarray(ws), interpret=True
+        ))
+        ref = x @ w
+        rel = np.abs(out - ref).mean() / np.abs(ref).mean()
+        assert rel < 0.02, rel
+
+        # exact emulation: single K chunk here (k < BLOCK_K), per-row scales
+        amax = np.abs(x).max(-1, keepdims=True)
+        xs = np.maximum(amax, 1e-6) / 127.0
+        xq = np.round(x / xs).astype(np.int8)
+        exact = (xq.astype(np.int32) @ wq.astype(np.int32)).astype(np.float32) * xs * ws
+        np.testing.assert_allclose(out, exact, rtol=1e-5, atol=1e-4)
+
+    def test_k_chunk_accumulation(self):
+        """K larger than one chunk: per-chunk scales accumulate correctly."""
+        import dataclasses
+
+        import jax.numpy as jnp
+        import numpy as np
+
+        from intact_tpu.models import common as cm
+        from intact_tpu.ops import pallas_int8
+
+        # shrink the K block so chunking kicks in at test size
+        orig = pallas_int8.BLOCK_K
+        pallas_int8.BLOCK_K = 128
+        try:
+            rng = np.random.default_rng(1)
+            m, k, n = 16, 384, 128  # 3 K-chunks
+            x = rng.normal(size=(m, k)).astype(np.float32)
+            w = rng.normal(size=(k, n)).astype(np.float32)
+            q = cm.quantize_dense({"kernel": jnp.asarray(w)})
+            out = np.asarray(pallas_int8.w8a8_matmul(
+                jnp.asarray(x), q["kernel_q"], q["kernel_scale"], interpret=True
+            ))
+            ref = x @ w
+            rel = np.abs(out - ref).mean() / np.abs(ref).mean()
+            assert rel < 0.02, rel
+        finally:
+            pallas_int8.BLOCK_K = orig
