@@ -35,12 +35,16 @@ class Pi0Policy:
         model_module=None,
         quantize: bool = False,
         tokenizer_path: str | None = None,
+        mesh=None,
     ):
         """model_module: any module exposing init/sample_actions with the
         pi0 signature (pi0 by default; mvla works identically).
         quantize: int8 W8A8 serving for the transformer-block matmuls.
         tokenizer_path: HF tokenizer asset ("hash" for the hermetic
-        fallback); ignored when an explicit tokenizer object is passed."""
+        fallback); ignored when an explicit tokenizer object is passed.
+        mesh: optional jax.sharding.Mesh for multi-chip serving — params
+        shard by the fsdp/tensor rules (parallel/sharding.py), inference
+        batches shard over (data, fsdp); XLA inserts the ICI collectives."""
         self.cfg = cfg
         self.model = model_module or pi0
         self._quantize = quantize
@@ -53,14 +57,27 @@ class Pi0Policy:
         )
         self._rng = jax.random.key(seed)
         self._queue: deque = deque()
+        self.mesh = mesh
+        self._batch_sharding = None
+        if mesh is not None and sharding is None:
+            from intact_tpu.parallel.sharding import batch_sharding, param_shardings
+
+            template = jax.eval_shape(
+                lambda k: jax.tree.map(
+                    lambda x: jax.ShapeDtypeStruct(x.shape, self.policy.param_dtype),
+                    self.model.init(k, cfg),
+                ),
+                jax.random.key(seed),
+            )
+            sharding = param_shardings(template, mesh)
+            self._batch_sharding = batch_sharding(mesh)
         self._sharding = sharding
 
         if params is None:
-            params = jax.jit(
-                lambda k: jax.tree.map(
-                    lambda x: x.astype(self.policy.param_dtype), self.model.init(k, cfg)
-                )
-            )(jax.random.key(seed))
+            init_fn = lambda k: jax.tree.map(  # noqa: E731
+                lambda x: x.astype(self.policy.param_dtype), self.model.init(k, cfg)
+            )
+            params = jax.jit(init_fn, out_shardings=self._sharding)(jax.random.key(seed))
         if quantize:
             params = jax.jit(cm.quantize_params)(params)
         self.params = params
@@ -133,11 +150,24 @@ class Pi0Policy:
     def sample_action_chunk(self, batch: dict) -> np.ndarray:
         """One inference -> [B, chunk_size, action_dim] (unpadded dims kept)."""
         images, img_masks, lang_tokens, lang_masks, state = self.prepare_inputs(batch)
+        n = images.shape[0]
+        if self._batch_sharding is not None:
+            # batch must divide over the (data, fsdp) axes: pad by repeating
+            # the last row, slice the padding back off below
+            div = self.mesh.shape["data"] * self.mesh.shape["fsdp"]
+            pad = (-n) % div
+
+            def put(x):
+                if pad:
+                    x = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)])
+                return jax.device_put(jnp.asarray(x), self._batch_sharding)
+        else:
+            put = jnp.asarray
         actions = self._sample(
-            self.params, self._next_key(), jnp.asarray(images), jnp.asarray(img_masks),
-            jnp.asarray(lang_tokens), jnp.asarray(lang_masks), jnp.asarray(state),
+            self.params, self._next_key(), put(images), put(img_masks),
+            put(lang_tokens), put(lang_masks), put(state),
         )
-        return np.asarray(actions, np.float32)
+        return np.asarray(actions, np.float32)[:n]
 
     def select_action(self, batch: dict, action_dim: int | None = None) -> np.ndarray:
         """Queue semantics (reference modeling_mvla.py:255-307): re-infer when

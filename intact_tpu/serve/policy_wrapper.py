@@ -42,6 +42,8 @@ class Pi0PolicyWrapper(BasePolicyWrapper):
         super().__init__(config)
         import importlib
 
+        import jax
+
         from intact_tpu.models import registry as model_registry
         from intact_tpu.models.pi0.policy import Pi0Policy
 
@@ -49,10 +51,20 @@ class Pi0PolicyWrapper(BasePolicyWrapper):
         model_module = importlib.import_module(
             model_registry.get(config.model_type)["module"]
         )
+        # multi-chip host (e.g. v5e-8): shard serving over the configured
+        # mesh (default pure data-parallel) — aggregate throughput scales
+        # with chips while the wire protocol stays unchanged
+        mesh = None
+        if jax.device_count() > 1:
+            from intact_tpu.parallel import MeshConfig, make_mesh
+
+            m = config.mesh
+            mesh = make_mesh(MeshConfig(m.data, m.fsdp, m.tensor))
         self.policy = Pi0Policy(
             self.model_cfg, seed=config.seed, use_bf16=config.use_bf16,
             model_module=model_module,
             tokenizer_path=config.resolve_tokenizer_path(),
+            mesh=mesh,
         )
         path = config.eval_cfg.pretrained_model_path
         if path:

@@ -189,3 +189,59 @@ class TestTrainStep:
         s2, _ = step(s1, make_batch(cfg, b=4, seed=2))
         d = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), s2.params, params)
         assert max(jax.tree.leaves(d)) > 0.0
+
+
+class TestShardedServing:
+    def test_policy_on_mesh_matches_single_device(self):
+        """Pi0Policy(mesh=...) shards params (fsdp/tensor) and batches
+        (data, fsdp) and produces the same actions as the unsharded policy —
+        multi-chip serving for the v5e-8 aggregate-throughput target."""
+        import numpy as np
+
+        from intact_tpu.models.pi0.config import Pi0Config
+        from intact_tpu.models.pi0.policy import Pi0Policy
+        from intact_tpu.parallel import MeshConfig, make_mesh
+
+        cfg = Pi0Config.tiny()
+        mesh = make_mesh(MeshConfig(data=2, fsdp=2, tensor=2))
+
+        sharded = Pi0Policy(cfg, seed=0, use_bf16=False, mesh=mesh,
+                            tokenizer_path="hash")
+        plain = Pi0Policy(cfg, seed=0, use_bf16=False, tokenizer_path="hash")
+
+        # params really are distributed
+        q = sharded.params["vlm"]["blocks"]["attn"]["q"]["kernel"]
+        assert len(q.sharding.device_set) > 1
+
+        rng = np.random.default_rng(0)
+        s = cfg.vision.image_size
+        batch = {
+            "image": rng.uniform(-1, 1, (8, s, s, 3)).astype(np.float32),
+            "state": rng.normal(size=(8, 7)).astype(np.float32),
+            "task": ["put the carrot on the plate"] * 8,
+        }
+        a_sharded = sharded.sample_action_chunk(dict(batch))
+        a_plain = plain.sample_action_chunk(dict(batch))
+        np.testing.assert_allclose(a_sharded, a_plain, rtol=2e-4, atol=2e-4)
+
+    def test_sharded_serving_pads_odd_batches(self):
+        import numpy as np
+
+        from intact_tpu.models.pi0.config import Pi0Config
+        from intact_tpu.models.pi0.policy import Pi0Policy
+        from intact_tpu.parallel import MeshConfig, make_mesh
+
+        cfg = Pi0Config.tiny()
+        mesh = make_mesh(MeshConfig(data=8, fsdp=1, tensor=1))
+        policy = Pi0Policy(cfg, seed=0, use_bf16=False, mesh=mesh,
+                           tokenizer_path="hash")
+        rng = np.random.default_rng(1)
+        s = cfg.vision.image_size
+        for b in (1, 3, 8):
+            batch = {
+                "image": rng.uniform(-1, 1, (b, s, s, 3)).astype(np.float32),
+                "state": rng.normal(size=(b, 7)).astype(np.float32),
+                "task": ["x"] * b,
+            }
+            out = policy.sample_action_chunk(batch)
+            assert out.shape[0] == b
