@@ -149,3 +149,43 @@ class TestExperimentCorpus:
         d = json.loads((REPO / "config/dataset/fractal_statistics.json").read_text())
         assert d["num_trajectories"] == 87212
         assert len(d["action"]["mean"]) == 7 and len(d["proprio"]["mean"]) == 8
+
+
+class TestCLIDispatch:
+    def test_build_config_from_yaml_with_overrides(self):
+        from intact_tpu.run import build_config
+
+        cfg = build_config([
+            "--config_path", str(REPO / "config/train/pi0_finetune_bridge.yaml"),
+            "--global_batch_size", "64",
+            "--mesh.fsdp", "1",
+            "--data.backend", "synthetic",
+        ])
+        assert cfg.global_batch_size == 64
+        assert cfg.mesh.fsdp == 1
+        assert cfg.data.backend == "synthetic"
+        assert cfg.model_cfg["type"] == "pi0"
+
+    def test_train_dispatch_runs(self, tmp_path, monkeypatch):
+        """main() with no eval_cfg dispatches to the trainer (tiny, 1 update)."""
+        import json
+
+        model_json = tmp_path / "tiny.json"
+        model_json.write_text(json.dumps({"type": "pi0_tiny"}))
+        yaml_path = tmp_path / "train.yaml"
+        yaml_path.write_text(
+            "name: cli_smoke\n"
+            f"model_cfg: !include {model_json}\n"
+            "global_batch_size: 2\n"
+            "per_device_batch_size: 1\n"
+            "n_updates: 1\n"
+            "save_model_freq: 100\n"
+            "log_freq: 1\n"
+            "eval_freq: 100\n"
+            "use_bf16: false\n"
+            "data:\n  backend: synthetic\n"
+        )
+        monkeypatch.setenv("VLA_LOG_DIR", str(tmp_path / "log"))
+        from intact_tpu import run as run_mod
+
+        assert run_mod.main(["--config_path", str(yaml_path)]) == 0
