@@ -136,7 +136,8 @@ def bench_train(args) -> int:
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=64, help="parallel rollouts")
+    ap.add_argument("--batch", type=int, default=None,
+                    help="parallel rollouts (default: 64 serve, 12 train)")
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--warmup", type=int, default=2)
     ap.add_argument("--tiny", action="store_true", help="tiny model (smoke)")
@@ -147,11 +148,11 @@ def main() -> int:
     ap.add_argument("--mode", choices=["serve", "train"], default="serve",
                     help="train: expert-only fine-tune step throughput")
     args = ap.parse_args()
+    if args.batch is None:
+        # train default 12 = largest batch that fits the honest fine-tune
+        # policy (bf16 frozen VLM + fp32 expert masters/moments + remat)
+        args.batch = 12 if args.mode == "train" else 64
     if args.mode == "train":
-        # largest batch that fits the honest fine-tune policy (bf16 frozen
-        # VLM + fp32 expert masters/moments + remat) in 16 GB HBM
-        if args.batch == 64:
-            args.batch = 12
         return bench_train(args)
 
     import jax

@@ -641,12 +641,17 @@ def _mujoco_manip(traj):
 # image_keys maps view -> raw observation key (None = view unavailable)
 # ---------------------------------------------------------------------------
 
-def _entry(primary=None, secondary=None, wrist=None, enc=EEF_POS, transform=None):
+def _entry(primary=None, secondary=None, wrist=None, enc=EEF_POS, transform=None,
+           lang=True):
+    """lang=False marks datasets whose transform BLANKs uninformative
+    language — the unlabeled filter must not apply to them (it would drop
+    every episode)."""
     return {
         "image_keys": {"primary": primary, "secondary": secondary, "wrist": wrist},
         "action_encoding": enc,
         "transform": transform,
         "action_normalization_mask": ACTION_NORMALIZATION_MASKS[enc],
+        "has_language": lang,
     }
 
 
@@ -654,7 +659,7 @@ _E = _entry
 OXE_DATASET_CONFIGS: dict[str, dict] = {
     "fractal20220817_data": _E("image", transform=_rt1),
     "fractal_euler": _E("image", transform=_rt1),
-    "kuka": _E("image", transform=_kuka),
+    "kuka": _E("image", transform=_kuka, lang=False),
     "bridge_dataset": _E("image_0", secondary="image_1", transform=_bridge),
     "taco_play": _E("rgb_static", wrist="rgb_gripper", transform=_taco),
     "taco_play_libero": _E("rgb_static", wrist="rgb_gripper", transform=_taco_libero),
@@ -666,12 +671,12 @@ OXE_DATASET_CONFIGS: dict[str, dict] = {
     "jaco_play": _E("image", wrist="image_wrist", transform=_jaco_play),
     "berkeley_cable_routing": _E(
         "image", secondary="top_image", wrist="wrist45_image", transform=_cable_routing
-    ),
-    "roboturk": _E("front_rgb", transform=_roboturk),
-    "nyu_door_opening_surprising_effectiveness": _E(wrist="image", transform=_nyu_door),
-    "viola": _E("agentview_rgb", wrist="eye_in_hand_rgb", transform=_viola),
+    , lang=False),
+    "roboturk": _E("front_rgb", transform=_roboturk, lang=False),
+    "nyu_door_opening_surprising_effectiveness": _E(wrist="image", transform=_nyu_door, lang=False),
+    "viola": _E("agentview_rgb", wrist="eye_in_hand_rgb", transform=_viola, lang=False),
     "berkeley_autolab_ur5": _E("image", wrist="hand_image", transform=_autolab_ur5),
-    "toto": _E("image", transform=_toto),
+    "toto": _E("image", transform=_toto, lang=False),
     "language_table": _E("rgb", transform=_language_table),
     "columbia_cairlab_pusht_real": _E("image", wrist="wrist_image", transform=_pusht),
     "stanford_kuka_multimodal_dataset_converted_externally_to_rlds": _E(
@@ -680,13 +685,13 @@ OXE_DATASET_CONFIGS: dict[str, dict] = {
     "nyu_rot_dataset_converted_externally_to_rlds": _E("image", transform=_nyu_rot),
     "stanford_hydra_dataset_converted_externally_to_rlds": _E(
         "image", wrist="wrist_image", transform=_stanford_hydra
-    ),
+    , lang=False),
     "austin_buds_dataset_converted_externally_to_rlds": _E(
         "image", wrist="wrist_image", transform=_austin_buds
-    ),
+    , lang=False),
     "nyu_franka_play_dataset_converted_externally_to_rlds": _E(
         "image", secondary="image_additional_view", transform=_nyu_franka_play
-    ),
+    , lang=False),
     "maniskill_dataset_converted_externally_to_rlds": _E(
         "image", wrist="wrist_image", transform=_maniskill
     ),
@@ -704,10 +709,10 @@ OXE_DATASET_CONFIGS: dict[str, dict] = {
     ),
     "austin_sailor_dataset_converted_externally_to_rlds": _E(
         "image", wrist="wrist_image", transform=_austin_sailor
-    ),
+    , lang=False),
     "austin_sirius_dataset_converted_externally_to_rlds": _E(
         "image", wrist="wrist_image", transform=_austin_sirius
-    ),
+    , lang=False),
     "bc_z": _E("image", transform=_bc_z),
     "utokyo_pr2_opening_fridge_converted_externally_to_rlds": _E(
         "image", transform=_utokyo_pr2
@@ -752,7 +757,7 @@ OXE_DATASET_CONFIGS: dict[str, dict] = {
         "image", wrist="wrist_image", transform=_iamlab_pick_insert
     ),
     "uiuc_d3field": _E("image_1", secondary="image_2", transform=_uiuc_d3field),
-    "utaustin_mutex": _E("image", wrist="wrist_image", transform=_utaustin_mutex),
+    "utaustin_mutex": _E("image", wrist="wrist_image", transform=_utaustin_mutex, lang=False),
     "berkeley_fanuc_manipulation": _E(
         "image", wrist="wrist_image", transform=_berkeley_fanuc
     ),
@@ -970,6 +975,8 @@ def make_oxe_dataset_kwargs(
         ),
         "load_proprio": load_proprio,
         "action_normalization_mask": list(cfg["action_normalization_mask"]),
+        # blank-language datasets must not hit the unlabeled filter
+        "skip_unlabeled": cfg.get("has_language", True),
     }
 
 

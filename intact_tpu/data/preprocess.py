@@ -21,6 +21,21 @@ from typing import Callable, Iterator
 import numpy as np
 
 
+def _is_image_key(key: str) -> bool:
+    """Camera keys across OXE are wildly named (image_0, wrist_image,
+    hand_image, cam_high, rgb_static, highres_image, finger_vision_1, ...);
+    match by pattern plus every raw key the registry maps as a camera."""
+    if "image" in key or "rgb" in key or key.startswith("cam_"):
+        return True
+    from intact_tpu.data.oxe.registry import OXE_DATASET_CONFIGS
+
+    raw = {
+        v for c in OXE_DATASET_CONFIGS.values()
+        for v in c["image_keys"].values() if v
+    }
+    return key in raw
+
+
 def _decode_images(ep: dict) -> dict:
     """Encoded per-step byte strings -> uint8 arrays (in place copies)."""
     import tensorflow as tf
@@ -28,7 +43,7 @@ def _decode_images(ep: dict) -> dict:
     obs = dict(ep.get("observation", {}))
     for key, val in obs.items():
         arr = np.asarray(val)
-        if key.startswith("image") and arr.dtype.kind in ("S", "O"):
+        if _is_image_key(key) and arr.dtype.kind in ("S", "O"):
             obs[key] = np.stack(
                 [tf.io.decode_image(f, channels=3).numpy() for f in arr]
             )
@@ -46,7 +61,7 @@ def resize_images(ep: dict, size: int = 224) -> dict:
     obs = dict(ep["observation"])
     for key, val in obs.items():
         arr = np.asarray(val)
-        if key.startswith("image") and arr.dtype == np.uint8 and arr.ndim == 4:
+        if _is_image_key(key) and arr.dtype == np.uint8 and arr.ndim == 4:
             if arr.shape[1] != size or arr.shape[2] != size:
                 obs[key] = tf.cast(
                     tf.clip_by_value(

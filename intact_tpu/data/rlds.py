@@ -159,16 +159,10 @@ def make_dataset_from_rlds(
         ds = files_ds.map(load, num_parallel_calls=num_parallel_calls)
         # npz episodes are pre-standardized by the conversion tooling
 
-    if skip_unlabeled:
-        ds = ds.filter(
-            lambda t: tf.math.reduce_any(t["task"]["language_instruction"] != "")
-        )
-    if max_action is not None:
-        ds = ds.filter(
-            lambda t: tf.math.reduce_all(tf.abs(t["action"]) <= max_action)
-        )
-
-    # statistics: explicit dict/path, else compute+cache from the data
+    # statistics: explicit dict/path, else compute+cache from the data.
+    # Computed BEFORE the unlabeled/max-action filters so datasets whose
+    # language is deliberately blank (kuka, toto, ... — see the OXE registry
+    # has_language flags) still yield statistics.
     if isinstance(dataset_statistics, (str, Path)):
         statistics = stats_lib.load_statistics(dataset_statistics)
     elif isinstance(dataset_statistics, dict):
@@ -180,6 +174,15 @@ def make_dataset_from_rlds(
 
         statistics = stats_lib.get_dataset_statistics(
             traj_iter, [name, str(data_dir), "train" if train else "val"]
+        )
+
+    if skip_unlabeled:
+        ds = ds.filter(
+            lambda t: tf.math.reduce_any(t["task"]["language_instruction"] != "")
+        )
+    if max_action is not None:
+        ds = ds.filter(
+            lambda t: tf.math.reduce_all(tf.abs(t["action"]) <= max_action)
         )
 
     # normalize in-graph
@@ -375,35 +378,55 @@ def make_interleaved_dataset(
         datasets.append(flatten_to_frames(ds.repeat()))
 
     # heterogeneous mixes (e.g. oxe_flex_act_soup: 7-dof EEF + 14-dof
-    # bimanual + 2-dof nav) must agree on action width before interleaving:
-    # pad every dataset's action to the mix maximum with an explicit
-    # action_pad_mask so padded dims drop out of the loss (reference
-    # traj_transforms.pad_actions_and_proprio)
-    dims = [int(d.element_spec["action"].shape[-1]) for d in datasets]
-    max_dim = max(dims)
-    if any(d != max_dim for d in dims):
-        def pad_to(ds_, dim_):
-            pad = max_dim - dim_
+    # bimanual + 2-dof nav; per-robot proprio widths) must agree on element
+    # specs before interleaving: pad action / future_action / proprio to the
+    # mix maxima, with an explicit action_pad_mask so padded action dims
+    # drop out of the loss (reference traj_transforms.pad_actions_and_proprio)
+    def _last_dim(spec, *keys):
+        node = spec
+        for k in keys:
+            if not isinstance(node, dict) or k not in node:
+                return None
+            node = node[k]
+        return int(node.shape[-1])
+
+    targets = {}
+    for keys in [("action",), ("future_action",), ("observation", "proprio")]:
+        dims = [_last_dim(d.element_spec, *keys) for d in datasets]
+        present = [x for x in dims if x is not None]
+        if present and any(x != max(present) for x in dims):
+            targets[keys] = max(present)
+
+    if targets:
+        def pad_dataset(ds_):
+            spec = ds_.element_spec
 
             def f(frame):
                 frame = dict(frame)
-                a = frame["action"]
-                frame["action"] = tf.pad(a, [[0, 0]] * (len(a.shape) - 1) + [[0, pad]])
-                m = frame.get("action_pad_mask")
-                if m is None:
-                    m = tf.ones_like(a, tf.bool)
-                frame["action_pad_mask"] = tf.pad(
-                    m, [[0, 0]] * (len(a.shape) - 1) + [[0, pad]],
-                    constant_values=False,
-                )
+                for keys, target in targets.items():
+                    cur = _last_dim(spec, *keys)
+                    if cur is None or cur == target:
+                        continue
+                    pad = target - cur
+                    node = frame
+                    for k in keys[:-1]:
+                        node[k] = dict(node[k])
+                        node = node[k]
+                    a = node[keys[-1]]
+                    widths = [[0, 0]] * (len(a.shape) - 1) + [[0, pad]]
+                    node[keys[-1]] = tf.pad(a, widths)
+                    if keys == ("action",):
+                        m = frame.get("action_pad_mask")
+                        if m is None:
+                            m = tf.ones_like(a, tf.bool)
+                        frame["action_pad_mask"] = tf.pad(
+                            m, widths, constant_values=False
+                        )
                 return frame
 
             return ds_.map(f, num_parallel_calls=AUTOTUNE)
 
-        datasets = [
-            pad_to(d, dim) if dim != max_dim else d
-            for d, dim in zip(datasets, dims)
-        ]
+        datasets = [pad_dataset(d) for d in datasets]
 
     if balance_weights:
         sample_weights = [w * s for w, s in zip(sample_weights, sizes)]

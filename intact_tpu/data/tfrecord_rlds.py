@@ -42,6 +42,14 @@ _DTYPES = {
 }
 
 
+def _dim(d) -> int:
+    """One dimension entry -> int. TFDS writes proto3-JSON, so dims appear
+    both as {"size": "256"} dicts and as plain "256" strings/ints."""
+    if isinstance(d, dict):
+        return int(d.get("size", -1))
+    return int(d)
+
+
 def _find_dataset_dir(data_dir: str | Path, name: str) -> Path:
     """<data_dir>/<name>[/<config>][/<version>] -> the dir holding
     dataset_info.json."""
@@ -80,8 +88,7 @@ def _flatten_features(node: dict, prefix: str = "") -> dict[str, dict]:
         elif cls.endswith("Image") or "image" in n:
             info = n.get("image", content)
             shape = [
-                int(d.get("size", -1)) for d in
-                info.get("shape", {}).get("dimensions", [])
+                _dim(d) for d in info.get("shape", {}).get("dimensions", [])
             ] or [-1, -1, 3]
             out[pfx] = {"dtype": tf.string, "shape": shape, "encoded_image": True}
         elif cls.endswith("Text"):
@@ -93,8 +100,7 @@ def _flatten_features(node: dict, prefix: str = "") -> dict[str, dict]:
         else:  # Tensor
             info = n.get("tensor", content)
             dims = info.get("shape", {}).get("dimensions", [])
-            shape = [int(d.get("size", -1)) if isinstance(d, dict) else int(d)
-                     for d in dims]
+            shape = [_dim(d) for d in dims]
             dtype = _DTYPES[info.get("dtype", "float32")]
             out[pfx] = {"dtype": dtype, "shape": shape, "encoded_image": False}
 
@@ -119,13 +125,22 @@ def load_split_info(ds_dir: Path) -> dict[str, int]:
 
 
 def _resolve_split(split: str | None, available: dict[str, int]) -> tuple[str, float, float]:
-    """'train[:95%]' -> ('train', 0.0, 0.95). Only %-slices supported."""
+    """'train[:95%]' -> ('train', 0.0, 0.95). ONLY %-slices are supported;
+    absolute slices ('train[:1000]') raise instead of silently misparsing
+    as percentages (which would overlap train/val partitions)."""
     split = split or "train"
     if "[" not in split:
         return split, 0.0, 1.0
     base, _, sl = split.partition("[")
     sl = sl.rstrip("]")
     lo, _, hi = sl.partition(":")
+    for bound in (lo, hi):
+        if bound and not bound.endswith("%"):
+            raise ValueError(
+                f"unsupported split slice {split!r}: only %-slices are "
+                "implemented (e.g. 'train[:95%]'); absolute indices would "
+                "misparse"
+            )
     lo_f = float(lo.rstrip("%")) / 100.0 if lo else 0.0
     hi_f = float(hi.rstrip("%")) / 100.0 if hi else 1.0
     return base, lo_f, hi_f

@@ -483,9 +483,17 @@ def convert_octo_params(ckpt_tree: dict, cfg: OctoUpstreamConfig,
         _assign(params, ("t5", "final_norm", "scale"), fn)
 
     # ---- diffusion head ----
+    # FourierFeatures stores its kernel as [out//2, in] upstream; this
+    # module multiplies t [B, in] @ kernel [in, out//2]
+    ff = one(r"heads_action/.*FourierFeatures_0/kernel$")
+    if ff is not None:
+        target = np.asarray(_get(params, ("head", "fourier", "kernel")))
+        if ff.shape == target.shape[::-1] and ff.shape != target.shape:
+            ff = ff.T.copy()
+        _assign(params, ("head", "fourier", "kernel"), ff)
     for path, pattern in [
-        (("head", "fourier", "kernel"), r"heads_action/.*FourierFeatures_0/kernel$"),
         (("head", "cond_mlp", "fc1", "kernel"), r"heads_action/.*cond_encoder/Dense_0/kernel$"),
+        # (fourier kernel handled above with its transpose)
         (("head", "cond_mlp", "fc1", "bias"), r"heads_action/.*cond_encoder/Dense_0/bias$"),
         (("head", "cond_mlp", "fc2", "kernel"), r"heads_action/.*cond_encoder/Dense_1/kernel$"),
         (("head", "cond_mlp", "fc2", "bias"), r"heads_action/.*cond_encoder/Dense_1/bias$"),

@@ -106,7 +106,7 @@ def synthetic_checkpoint(cfg: up.OctoUpstreamConfig, seed=0) -> dict:
 
     adim = cfg.horizon * cfg.action_dim
     tree["heads_action"] = {"diffusion_model": {"ScoreActor_0": {
-        "FourierFeatures_0": {"kernel": arr(1, cfg.time_dim // 2)},
+        "FourierFeatures_0": {"kernel": arr(cfg.time_dim // 2, 1)},  # upstream [out//2, in]
         "cond_encoder": {
             "Dense_0": {"kernel": arr(cfg.time_dim, 2 * cfg.time_dim),
                         "bias": arr(2 * cfg.time_dim)},

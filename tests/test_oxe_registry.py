@@ -187,3 +187,63 @@ class TestCanonicalize:
         for d in padded:
             frame = next(iter(d))
             assert frame["action"].shape[-1] == 14
+
+
+class TestHeterogeneousMixEndToEnd:
+    def test_mixed_widths_and_blank_language_interleave(self, tmp_path):
+        """Two datasets with different action/proprio widths — one with
+        blanked language (kuka-style) — interleave into one batched stream:
+        action/proprio pad to mix maxima, action_pad_mask marks real dims,
+        and statistics for the blank-language dataset still compute
+        (the unlabeled filter must not starve it)."""
+        from intact_tpu.data import tfrecord_rlds
+        from intact_tpu.data.rlds import make_interleaved_dataset
+
+        def make_raw(n, adim, pdim, lang):
+            rng = np.random.default_rng(adim)
+            return [{
+                "observation": {
+                    "img": rng.integers(0, 255, (T, 16, 16, 3), dtype=np.uint8),
+                    "st": rng.normal(size=(T, pdim)).astype(np.float32),
+                },
+                "action": rng.normal(size=(T, adim)).astype(np.float32),
+                "language_instruction": np.array([lang] * T),
+            } for T in ([5, 6, 7] * n)[:n]]
+
+        tfrecord_rlds.write_rlds_dataset(tmp_path, "toy_eef",
+                                         make_raw(3, 7, 7, "move the thing"),
+                                         image_keys=("img",))
+        tfrecord_rlds.write_rlds_dataset(tmp_path, "toy_bimanual",
+                                         make_raw(3, 14, 8, ""),
+                                         image_keys=("img",))
+
+        def std_a(traj):
+            return {
+                "observation": {"image_primary": traj["observation"]["img"],
+                                "proprio": traj["observation"]["st"]},
+                "task": {"language_instruction": traj["language_instruction"]},
+                "action": traj["action"],
+            }
+
+        kwargs = [
+            {"name": "toy_eef", "data_dir": str(tmp_path), "standardize_fn": std_a,
+             "action_normalization_mask": [True] * 6 + [False],
+             "skip_unlabeled": True},
+            {"name": "toy_bimanual", "data_dir": str(tmp_path), "standardize_fn": std_a,
+             "action_normalization_mask": [True] * 14,
+             "skip_unlabeled": False},  # blank language by design
+        ]
+        ds, total, stats = make_interleaved_dataset(
+            kwargs, [1.0, 1.0], train=True, shuffle_buffer_size=8,
+            window_size=1, action_horizon=2, resize_size=(16, 16),
+            batch_size=4, seed=0,
+        )
+        batch = next(iter(ds.as_numpy_iterator()))
+        assert batch["action"].shape[-1] == 14
+        assert batch["observation"]["proprio"].shape[-1] == 8
+        assert batch["action_pad_mask"].shape[-1] == 14
+        # stats computed for BOTH datasets incl. the blank-language one
+        assert stats["toy_bimanual"]["num_transitions"] > 0
+        assert len(stats["toy_eef"]["action"]["mean"]) == 7
+        # at least some rows must carry padded action dims
+        assert (~batch["action_pad_mask"]).any() or batch["action_pad_mask"].all()
