@@ -32,6 +32,16 @@ class MVLAConfig:
     # expert layer pattern: "self_cross" alternates starting with self
     alternate_pattern: str = "self_cross"
 
+    # action decoder: "flow" = Gemma expert + flow matching (the trained
+    # reference path); "dit" = DiT diffusion head over the connector prompt
+    # (the reference's ActionModel alternative, configuration_mvla.py DiT
+    # settings — present but commented out of its model)
+    action_head: str = "flow"
+    dit_width: int = 384
+    dit_depth: int = 12
+    dit_heads: int = 6
+    diffusion_steps: int = 100  # DDPM train steps; sampling uses num_steps (DDIM)
+
     time_min_period: float = 4e-3
     time_max_period: float = 4.0
     time_beta_alpha: float = 1.5

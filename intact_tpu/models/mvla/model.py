@@ -28,15 +28,20 @@ from intact_tpu.models.pi0 import model as pi0
 from intact_tpu.ops.masks import make_att_2d_masks
 
 
+def _dit_config(cfg: MVLAConfig):
+    from intact_tpu.models.dit import DiTConfig
+
+    return DiTConfig(
+        width=cfg.dit_width, depth=cfg.dit_depth, num_heads=cfg.dit_heads,
+        action_dim=cfg.max_action_dim, horizon=cfg.chunk_size,
+        cond_dim=cfg.proj_width,
+    )
+
+
 def init(key, cfg: MVLAConfig) -> cm.Params:
     ks = jax.random.split(key, 12)
     pw = cfg.proj_width
-    expert_params = (
-        expert_lib.init_joint(ks[6], cfg.expert)
-        if cfg.alternate_pattern == "joint"
-        else expert_lib.init(ks[6], cfg.expert, prompt_dim=pw)
-    )
-    return {
+    params = {
         "siglip": siglip.init(ks[0], cfg.vision),
         "img_proj": cm.dense_init(ks[1], cfg.vision.width, cfg.vlm.width),
         "vlm_embed": gemma.init_embed(ks[2], cfg.vlm),
@@ -45,13 +50,26 @@ def init(key, cfg: MVLAConfig) -> cm.Params:
             ks[4], (1, cfg.num_metaqueries, cfg.vlm.width), jnp.float32
         ) * 0.02,
         "connector": connector_lib.init(ks[5], cfg.connector, cfg.vlm.width, pw),
-        "expert": expert_params,
+    }
+    if cfg.action_head == "dit":
+        # DiT diffusion decoder replaces the Gemma expert + flow head
+        from intact_tpu.models import dit as dit_lib
+
+        params["dit"] = dit_lib.init(ks[6], _dit_config(cfg))
+        return params
+    params.update({
+        "expert": (
+            expert_lib.init_joint(ks[6], cfg.expert)
+            if cfg.alternate_pattern == "joint"
+            else expert_lib.init(ks[6], cfg.expert, prompt_dim=pw)
+        ),
         "state_proj": cm.dense_init(ks[7], cfg.max_state_dim, pw),
         "action_in_proj": cm.dense_init(ks[8], cfg.max_action_dim, pw),
         "time_mlp_in": cm.dense_init(ks[9], 2 * pw, pw),
         "time_mlp_out": cm.dense_init(ks[10], pw, pw),
         "action_out_proj": cm.dense_init(ks[11], pw, cfg.max_action_dim),
-    }
+    })
+    return params
 
 
 def embed_prefix(params, images, img_masks, lang_tokens, lang_masks, cfg: MVLAConfig,
@@ -117,8 +135,34 @@ def predict_velocity(params, prompt, state, x_t, time, cfg: MVLAConfig,
     return cm.dense(params["action_out_proj"], out, fp32)
 
 
+def _dit_eps_fn(params, cfg: MVLAConfig, policy: DtypePolicy):
+    from intact_tpu.models import dit as dit_lib
+
+    dcfg = _dit_config(cfg)
+
+    def eps(x_t, t_int, cond):
+        return dit_lib.apply(params["dit"], x_t, t_int, cond, dcfg, policy)
+
+    return eps
+
+
 def compute_loss(params, key, batch: dict, cfg: MVLAConfig,
                  policy: DtypePolicy = DEFAULT_POLICY, train: bool = True):
+    if cfg.action_head == "dit":
+        from intact_tpu.models import diffusion as diff
+
+        prompt = compute_prompt(
+            params, batch["images"], batch["img_masks"], batch["lang_tokens"],
+            batch["lang_masks"], cfg, policy,
+        )
+        cond = prompt.mean(axis=1).astype(jnp.float32)  # pooled metaqueries
+        schedule = diff.make_schedule(cfg.diffusion_steps)
+        loss, aux = diff.training_loss(
+            schedule, _dit_eps_fn(params, cfg, policy), key,
+            batch["actions"].astype(jnp.float32), cond,
+        )
+        return loss, {"l2_loss": loss, "losses": aux["losses"]}
+
     actions = batch["actions"].astype(jnp.float32)
     k_noise, k_time = jax.random.split(key)
     noise = pi0.sample_noise(k_noise, actions.shape)
@@ -153,6 +197,17 @@ def sample_actions(params, key, images, img_masks, lang_tokens, lang_masks, stat
         noise = pi0.sample_noise(key, (b, cfg.chunk_size, cfg.max_action_dim))
 
     prompt = compute_prompt(params, images, img_masks, lang_tokens, lang_masks, cfg, policy)
+
+    if cfg.action_head == "dit":
+        from intact_tpu.models import diffusion as diff
+
+        cond = prompt.mean(axis=1).astype(jnp.float32)
+        schedule = diff.make_schedule(cfg.diffusion_steps)
+        return diff.ddim_sample(
+            schedule, _dit_eps_fn(params, cfg, policy), key,
+            (b, cfg.chunk_size, cfg.max_action_dim), cond,
+            num_steps=cfg.num_steps,
+        )
     prompt_kv = (
         None if cfg.alternate_pattern == "joint"
         else expert_lib.prefill_prompt_kv(params["expert"], prompt, cfg.expert, policy)

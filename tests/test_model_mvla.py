@@ -113,3 +113,78 @@ class TestMMMVLA:
         )
         assert acts.shape == (2, cfg.chunk_size, cfg.max_action_dim)
         assert jnp.isfinite(acts).all()
+
+
+class TestDiTActionHead:
+    """action_head='dit': DiT diffusion decoder over the connector prompt —
+    the reference's ActionModel alternative (configuration_mvla DiT settings,
+    present but inactive in its model)."""
+
+    def _cfg(self):
+        import dataclasses
+
+        from intact_tpu.models.mvla.config import MVLAConfig
+
+        return dataclasses.replace(
+            MVLAConfig.tiny(), action_head="dit",
+            dit_width=16, dit_depth=2, dit_heads=2, diffusion_steps=8,
+        )
+
+    def _batch(self, cfg, b=2):
+        import numpy as np
+
+        rng = np.random.default_rng(0)
+        s = cfg.vision.image_size
+        return {
+            "images": jnp.asarray(rng.uniform(-1, 1, (b, 1, s, s, 3)), jnp.float32),
+            "img_masks": jnp.ones((b, 1), bool),
+            "lang_tokens": jnp.asarray(rng.integers(0, 30, (b, cfg.tokenizer_max_length)), jnp.int32),
+            "lang_masks": jnp.ones((b, cfg.tokenizer_max_length), bool),
+            "state": jnp.asarray(rng.normal(size=(b, cfg.max_state_dim)), jnp.float32),
+            "actions": jnp.asarray(rng.normal(size=(b, cfg.chunk_size, cfg.max_action_dim)), jnp.float32),
+        }
+
+    def test_loss_and_sampling(self):
+        import numpy as np
+
+        cfg = self._cfg()
+        params = mvla.init(jax.random.key(0), cfg)
+        assert "dit" in params and "expert" not in params
+        batch = self._batch(cfg)
+        loss, aux = mvla.compute_loss(params, jax.random.key(1), batch, cfg, FP32)
+        assert np.isfinite(float(loss))
+
+        actions = mvla.sample_actions(
+            params, jax.random.key(2), batch["images"], batch["img_masks"],
+            batch["lang_tokens"], batch["lang_masks"], batch["state"], cfg, FP32,
+        )
+        assert actions.shape == (2, cfg.chunk_size, cfg.max_action_dim)
+        assert np.isfinite(np.asarray(actions)).all()
+
+    def test_conditioning_matters(self):
+        import numpy as np
+
+        cfg = self._cfg()
+        params = mvla.init(jax.random.key(0), cfg)
+        # adaLN-Zero inits modulation to exact zero (blocks start as
+        # identity, cond-independent) — perturb so conditioning is live
+        leaves, treedef = jax.tree.flatten(params["dit"])
+        ks = jax.random.split(jax.random.key(7), len(leaves))
+        params["dit"] = jax.tree.unflatten(treedef, [
+            leaf + 0.05 * jax.random.normal(k, leaf.shape, leaf.dtype)
+            for leaf, k in zip(leaves, ks)
+        ])
+        batch = self._batch(cfg)
+        a1 = mvla.sample_actions(
+            params, jax.random.key(2), batch["images"], batch["img_masks"],
+            batch["lang_tokens"], batch["lang_masks"], batch["state"], cfg, FP32,
+        )
+        other = jnp.asarray(
+            np.random.default_rng(9).integers(0, 30, batch["lang_tokens"].shape),
+            jnp.int32,
+        )
+        a2 = mvla.sample_actions(
+            params, jax.random.key(2), batch["images"], batch["img_masks"],
+            other, batch["lang_masks"], batch["state"], cfg, FP32,
+        )
+        assert not np.allclose(np.asarray(a1), np.asarray(a2))
