@@ -261,3 +261,58 @@ class TestServeEvalEndToEnd:
             t.join(timeout=60)
         assert not errors, errors
         assert len(results) == 4
+
+
+@pytest.mark.slow
+class TestRunCLIServerRole:
+    def test_server_dispatch_serves_over_websocket(self, tmp_path, monkeypatch):
+        """python -m intact_tpu.run --eval_cfg.role server end to end:
+        config yaml -> wrapper -> websocket server -> client infer."""
+        import json
+        import threading
+        import time as _time
+
+        monkeypatch.setenv("VLA_LOG_DIR", str(tmp_path))
+        model_json = tmp_path / "tiny.json"
+        model_json.write_text(json.dumps({"type": "pi0_tiny"}))
+        yaml_path = tmp_path / "serve.yaml"
+        yaml_path.write_text(
+            "name: cli_serve_smoke\n"
+            f"model_cfg: !include {model_json}\n"
+            "use_bf16: false\n"
+            'tokenizer_path: "hash"\n'
+            "eval_cfg:\n"
+            "  simulator_name: simpler\n"
+            "  env_adapter: BridgeSimplerAdapter\n"
+            "  role: server\n"
+            "  host: 127.0.0.1\n"
+            "  port: 18733\n"
+            "  action_step: 4\n"
+            "  max_batch_size: 1\n"  # reference per-request server path
+            "  recording: false\n"
+            "env:\n"
+            f"  dataset_statistics_path: {STATS}\n"
+            "  image_size: [28, 28]\n"
+        )
+        from intact_tpu import run as run_mod
+
+        t = threading.Thread(
+            target=run_mod.main, args=(["--config_path", str(yaml_path)],),
+            daemon=True,
+        )
+        t.start()
+        _time.sleep(1.0)
+
+        from intact_tpu.protocol.websocket_policy_client import WebsocketPolicyClient
+
+        c = WebsocketPolicyClient("127.0.0.1", 18733, retry_interval_s=0.5)
+        obs = {
+            "observation.images.top": np.zeros((64, 64, 3), np.uint8),
+            "observation.state": {
+                "agent": {"eef_pos": np.array([0.1, 0.2, 0.3, 1.0, 0, 0, 0, 0.8])}
+            },
+            "task": "put the carrot on the plate",
+        }
+        action = c.infer(obs)
+        assert np.asarray(action).shape == (4, 7)
+        assert c.reset() == {"status": "reset"}
