@@ -92,7 +92,17 @@ def _logits(params, h, policy):
 
 def compute_loss(params, key, batch: dict, cfg: Pi0FASTConfig,
                  policy: DtypePolicy = DEFAULT_POLICY, train: bool = True):
-    targets = tokenize_actions(batch["actions"], cfg)  # [B, T]
+    # Targets: in-graph uniform binning by default; FAST DCT+BPE tokens when
+    # the host pipeline precomputed them (pi0fast/fast_tokenizer.encode_batch
+    # -> batch["action_tokens"] int32 [B, T] + "action_token_mask" bool).
+    if "action_tokens" in batch:
+        targets = batch["action_tokens"].astype(jnp.int32)
+        token_keep = batch.get(
+            "action_token_mask", jnp.ones(targets.shape, bool)
+        ).astype(bool)
+    else:
+        targets = tokenize_actions(batch["actions"], cfg)  # [B, T]
+        token_keep = None
     b, t = targets.shape
     scale = jnp.asarray(cfg.vlm.width**0.5)
 
@@ -124,7 +134,10 @@ def compute_loss(params, key, batch: dict, cfg: Pi0FASTConfig,
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, targets[:, :, None], axis=-1)[..., 0]
 
-    if "action_is_pad" in batch:
+    if token_keep is not None:
+        nll = nll * token_keep.astype(nll.dtype)
+        loss = nll.sum() / jnp.maximum(token_keep.sum(), 1)
+    elif "action_is_pad" in batch:
         keep = ~batch["action_is_pad"]  # [B, chunk]
         keep = jnp.repeat(keep, cfg.max_action_dim, axis=1)  # per-token
         nll = nll * keep.astype(nll.dtype)

@@ -97,3 +97,43 @@ class TestPi0FAST:
         expected = fast.detokenize_actions(targets, cfg)
         match = float(jnp.mean((jnp.abs(decoded - expected) < 1e-5).astype(jnp.float32)))
         assert match > 0.9, match
+
+
+class TestFastTokenTargets:
+    def test_loss_with_precomputed_fast_tokens(self):
+        """FAST DCT+BPE targets from the host pipeline drive the CE loss
+        (in place of the in-graph binning) and respect the token mask."""
+        import numpy as np
+
+        from intact_tpu.models.pi0fast.fast_tokenizer import FastTokenizer
+
+        cfg = Pi0FASTConfig.tiny()
+        params = fast.init(jax.random.key(0), cfg)
+        rng = np.random.default_rng(0)
+        b, s = 2, cfg.vision.image_size
+        actions = rng.uniform(-0.8, 0.8, (b, cfg.chunk_size, cfg.max_action_dim)).astype(np.float32)
+
+        tok = FastTokenizer(scale=20.0, max_token=64).fit(
+            rng.uniform(-0.8, 0.8, (16, cfg.chunk_size, cfg.max_action_dim)).astype(np.float32)
+        )
+        n_tok = cfg.chunk_size * cfg.max_action_dim
+        ids, mask = tok.encode_batch(actions, max_len=n_tok, vocab_size=cfg.vlm.vocab_size)
+
+        batch = {
+            "images": jnp.asarray(rng.uniform(-1, 1, (b, 1, s, s, 3)), jnp.float32),
+            "img_masks": jnp.ones((b, 1), bool),
+            "lang_tokens": jnp.ones((b, cfg.tokenizer_max_length), jnp.int32),
+            "lang_masks": jnp.ones((b, cfg.tokenizer_max_length), bool),
+            "state": jnp.zeros((b, cfg.max_state_dim), jnp.float32),
+            "actions": jnp.asarray(actions),
+            "action_tokens": jnp.asarray(ids),
+            "action_token_mask": jnp.asarray(mask),
+        }
+        loss, aux = fast.compute_loss(params, jax.random.key(1), batch, cfg, FP32)
+        assert np.isfinite(float(loss))
+
+        # binning path still works without tokens
+        batch.pop("action_tokens"); batch.pop("action_token_mask")
+        loss2, _ = fast.compute_loss(params, jax.random.key(1), batch, cfg, FP32)
+        assert np.isfinite(float(loss2))
+        assert not np.isclose(float(loss), float(loss2))
