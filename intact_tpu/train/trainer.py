@@ -298,11 +298,22 @@ class Trainer:
     # ------------------------------------------------------------------
 
     def train(self):
+        from intact_tpu.utils.prefetch import PrefetchIterator
+
         cfg = self.cfg
         n_micro = cfg.n_updates * self.opt_cfg.grad_accumulation_steps
         timer = Timer()
         metric_window: list[dict] = []
-        data_iter = iter(self.train_data)
+        # host pipeline (tf.data -> tokenize -> device_put) runs one batch
+        # ahead on a worker thread while the device executes the current step
+        data_iter = PrefetchIterator(
+            iter(self.train_data),
+            prepare=lambda raw: jax.device_put(
+                preprocess_batch(raw, self.tokenizer, self.model_cfg),
+                self.batch_shard,
+            ),
+            depth=2,
+        )
 
         self.logger.info(
             "training: %d updates x %d accumulation (micro-batch %d, global %d)",
@@ -311,9 +322,7 @@ class Trainer:
         )
 
         for micro in range(n_micro):
-            raw = next(data_iter)
-            batch = preprocess_batch(raw, self.tokenizer, self.model_cfg)
-            batch = jax.device_put(batch, self.batch_shard)
+            batch = next(data_iter)  # already preprocessed + device_put
             self.state, metrics = self.train_step(self.state, batch)
             metric_window.append(metrics)
 

@@ -107,3 +107,44 @@ class TestActionParityCLI:
         again = mod.run_policy(fix, None, "pi0_tiny", use_bf16=False)
         mse = float(((again - ours) ** 2).mean())
         assert mse < mod.MSE_GATE
+
+
+class TestPrefetchIterator:
+    def test_order_and_prepare(self):
+        from intact_tpu.utils.prefetch import PrefetchIterator
+
+        out = list(PrefetchIterator(iter(range(10)), prepare=lambda x: x * 2, depth=3))
+        assert out == [x * 2 for x in range(10)]
+
+    def test_exception_propagates(self):
+        from intact_tpu.utils.prefetch import PrefetchIterator
+
+        def gen():
+            yield 1
+            raise RuntimeError("pipeline broke")
+
+        it = PrefetchIterator(gen())
+        assert next(it) == 1
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="pipeline broke"):
+            for _ in it:
+                pass
+
+    def test_overlap_actually_happens(self):
+        import threading
+        import time as _time
+
+        from intact_tpu.utils.prefetch import PrefetchIterator
+
+        produced = []
+
+        def slow_gen():
+            for i in range(4):
+                produced.append(i)
+                yield i
+
+        it = PrefetchIterator(iter(slow_gen()), depth=2)
+        _time.sleep(0.2)  # worker runs ahead without any consumption
+        assert len(produced) >= 2
+        assert list(it) == [0, 1, 2, 3]
