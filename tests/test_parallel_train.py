@@ -245,3 +245,45 @@ class TestShardedServing:
             }
             out = policy.sample_action_chunk(batch)
             assert out.shape[0] == b
+
+
+class TestShardedMVLA:
+    def test_mvla_sharded_step_matches_replicated(self):
+        """The sharding rules are family-generic: an MVLA (metaquery +
+        connector + cross-attn expert) training step over the 2x2x2 mesh
+        matches the single-device step."""
+        from intact_tpu.models.mvla import MVLAConfig, model as mvla
+
+        cfg = MVLAConfig.tiny()
+        params = mvla.init(jax.random.key(0), cfg)
+        tx, _ = make_optimizer(OptimizerConfig(lr=1e-4, warmup_steps=1,
+                                               first_cycle_steps=1000))
+
+        def loss_fn(p, key, batch):
+            return mvla.compute_loss(p, key, batch, cfg, FP32)
+
+        s = cfg.vision.image_size
+        rng = np.random.default_rng(0)
+        batch = {
+            "images": jnp.asarray(rng.uniform(-1, 1, (8, 1, s, s, 3)), jnp.float32),
+            "img_masks": jnp.ones((8, 1), bool),
+            "lang_tokens": jnp.asarray(rng.integers(0, 30, (8, cfg.tokenizer_max_length)), jnp.int32),
+            "lang_masks": jnp.ones((8, cfg.tokenizer_max_length), bool),
+            "state": jnp.asarray(rng.normal(size=(8, cfg.max_state_dim)), jnp.float32),
+            "actions": jnp.asarray(rng.normal(size=(8, cfg.chunk_size, cfg.max_action_dim)), jnp.float32),
+        }
+
+        state0 = init_train_state(params, tx, seed=0)
+        step = make_train_step(loss_fn, tx, FP32)
+        _, ref_metrics = jax.jit(step)(state0, batch)
+
+        mesh = make_mesh(MeshConfig(data=2, fsdp=2, tensor=2))
+        state = init_train_state(params, tx, seed=0)
+        sh = state_shardings(state, mesh)
+        state = jax.device_put(state, sh)
+        sharded_step = jit_train_step(step, mesh, sh, batch_sharding(mesh))
+        _, metrics = sharded_step(state, jax.device_put(batch, batch_sharding(mesh)))
+
+        np.testing.assert_allclose(
+            float(metrics["l2_loss"]), float(ref_metrics["l2_loss"]), rtol=1e-4
+        )
