@@ -155,7 +155,10 @@ def compute_loss(params, key, batch: dict, cfg: Pi0FASTConfig,
 
 def sample_actions(params, key, images, img_masks, lang_tokens, lang_masks, state,
                    cfg: Pi0FASTConfig, policy: DtypePolicy = DEFAULT_POLICY,
-                   noise=None):
+                   noise=None, return_tokens: bool = False):
+    """Greedy KV-cached decode -> actions (in-graph bin detokenize), or the
+    raw generated token ids when return_tokens=True — the FAST DCT+BPE
+    path decodes those host-side (pi0fast/fast_tokenizer.decode_batch)."""
     del key, noise  # greedy decode is deterministic
     pre_embs, pre_pad, pre_att = embed_prefix(
         params, images, img_masks, lang_tokens, lang_masks, state, cfg, policy
@@ -228,6 +231,8 @@ def sample_actions(params, key, images, img_masks, lang_tokens, lang_masks, stat
         step_fn, (init_tok, ck, cv, key_valid0), jnp.arange(t)
     )
     tokens = tokens.T  # [B, T]
+    if return_tokens:
+        return tokens
     actions = detokenize_actions(tokens, cfg)
     # pad to a common [B, chunk, max(7, dim)] float32 like the other models
     return actions.astype(jnp.float32)

@@ -137,3 +137,34 @@ class TestFastTokenTargets:
         loss2, _ = fast.compute_loss(params, jax.random.key(1), batch, cfg, FP32)
         assert np.isfinite(float(loss2))
         assert not np.isclose(float(loss), float(loss2))
+
+
+class TestTokenReturn:
+    def test_return_tokens_matches_action_path(self):
+        """return_tokens exposes the greedy ids the action path detokenizes
+        — the hook the FAST host-side decoder consumes."""
+        import functools
+
+        import numpy as np
+
+        cfg = Pi0FASTConfig.tiny()
+        params = fast.init(jax.random.key(0), cfg)
+        rng = np.random.default_rng(0)
+        b, s = 2, cfg.vision.image_size
+        args = (
+            params, jax.random.key(1),
+            jnp.asarray(rng.uniform(-1, 1, (b, 1, s, s, 3)), jnp.float32),
+            jnp.ones((b, 1), bool),
+            jnp.ones((b, cfg.tokenizer_max_length), jnp.int32),
+            jnp.ones((b, cfg.tokenizer_max_length), bool),
+            jnp.zeros((b, cfg.max_state_dim), jnp.float32),
+        )
+        sample = functools.partial(fast.sample_actions, cfg=cfg, policy=FP32)
+        tokens = sample(*args, return_tokens=True)
+        actions = sample(*args)
+        np.testing.assert_allclose(
+            np.asarray(actions), np.asarray(fast.detokenize_actions(tokens, cfg)),
+            rtol=1e-6,
+        )
+        # ids live in the vocab tail
+        assert int(tokens.min()) >= cfg.vlm.vocab_size - cfg.n_action_bins
