@@ -132,8 +132,8 @@ def forward(
     positions: jnp.ndarray,  # int [B, T]
     cfg: Gemma2Config,
     policy: DtypePolicy = DEFAULT_POLICY,
-) -> jnp.ndarray:
-    """-> final-normed hidden [B, T, D].
+):
+    """-> (final-normed hidden [B, T, D], kv cache [L, B, T, KVH, hd] x2).
 
     Layer parity (even = sliding window, odd = global) is scanned with a
     per-layer flag so the whole depth stays one scan body.
@@ -158,10 +158,10 @@ def forward(
 
         y = cm.rms_norm(bp["pre_ffw_norm"], x, cfg.norm_eps)
         ffw = cm.gemma_mlp(bp["mlp"], y, policy)
-        return x + cm.rms_norm(bp["post_ffw_norm"], ffw, cfg.norm_eps), None
+        return x + cm.rms_norm(bp["post_ffw_norm"], ffw, cfg.norm_eps), (k, v)
 
-    x, _ = jax.lax.scan(body, embeds, (params["blocks"], is_sliding))
-    return cm.rms_norm(params["final_norm"], x, cfg.norm_eps)
+    x, kv = jax.lax.scan(body, embeds, (params["blocks"], is_sliding))
+    return cm.rms_norm(params["final_norm"], x, cfg.norm_eps), kv
 
 
 def logits(params, hidden, cfg: Gemma2Config, policy=DEFAULT_POLICY):
@@ -177,7 +177,89 @@ def encode_text(params, tokens, mask2d, positions, cfg: Gemma2Config,
     """Token ids -> hidden (embed with sqrt(width) Gemma scaling)."""
     x = cm.embed_lookup(params["embed"], tokens, policy)
     x = x * jnp.asarray(cfg.width**0.5, x.dtype)
-    return forward(params, x, mask2d, positions, cfg, policy)
+    return forward(params, x, mask2d, positions, cfg, policy)[0]
+
+
+def greedy_decode(
+    params: cm.Params,
+    prompt_embeds: jnp.ndarray,  # [B, P, D] (multimodal embeds, pre-scaled)
+    prompt_mask: jnp.ndarray,  # bool [B, P]
+    max_new_tokens: int,
+    cfg: Gemma2Config,
+    policy: DtypePolicy = DEFAULT_POLICY,
+) -> jnp.ndarray:
+    """In-graph KV-cached greedy decode -> [B, max_new_tokens] token ids.
+
+    Same shape as llama.greedy_decode (prefill once, one lax.scan over
+    decode steps, no host round trips) with the Gemma2 particulars: four
+    norms, attention/final softcaps, sqrt(width)-scaled token embeds, and
+    the even-sliding/odd-global layer alternation (the sliding mask is
+    applied against cached KEY positions)."""
+    b, p_len, _ = prompt_embeds.shape
+    scale = cfg.query_pre_attn_scalar**-0.5
+    embed_scale = jnp.asarray(cfg.width**0.5, policy.compute_dtype)
+    is_sliding = jnp.arange(cfg.depth) % 2 == 0
+
+    positions = jnp.cumsum(prompt_mask.astype(jnp.int32), axis=1) - 1
+    causal = jnp.tril(jnp.ones((p_len, p_len), bool))[None]
+    mask = causal & prompt_mask[:, None, :]
+    hidden, kv = forward(params, prompt_embeds, mask, positions, cfg, policy)
+
+    def pad_cache(c):  # [L, B, P, KVH, hd] -> [L, B, total, KVH, hd]
+        return jnp.pad(c, ((0, 0), (0, 0), (0, max_new_tokens), (0, 0), (0, 0)))
+
+    cache_k, cache_v = pad_cache(kv[0]), pad_cache(kv[1])
+    key_valid0 = jnp.pad(prompt_mask, ((0, 0), (0, max_new_tokens)))
+    key_pos0 = jnp.pad(positions, ((0, 0), (0, max_new_tokens)))
+
+    last_idx = jnp.sum(prompt_mask.astype(jnp.int32), axis=1) - 1
+    last_hidden = hidden[jnp.arange(b), last_idx]
+    first_token = jnp.argmax(logits(params, last_hidden, cfg, policy), axis=-1)
+    next_pos = positions[jnp.arange(b), last_idx] + 1
+
+    def step(carry, i):
+        token, pos, ck, cv, key_valid, key_pos = carry
+        x = cm.embed_lookup(params["embed"], token[:, None], policy) * embed_scale
+        pos_ids = pos[:, None]
+        key_valid = key_valid.at[:, p_len + i].set(True)
+        key_pos = key_pos.at[:, p_len + i].set(pos)
+
+        delta = pos[:, None] - key_pos  # [B, total]
+        in_window = key_valid & (delta >= 0) & (delta < cfg.sliding_window)
+        global_m = key_valid & (delta >= 0)
+
+        def body(x, layer):
+            bp, use_sliding, ck_l, cv_l = layer
+            y = cm.rms_norm(bp["ln1"], x, cfg.norm_eps)
+            q = cm.dense(bp["attn"]["q"], y, policy).reshape(b, 1, cfg.num_heads, cfg.head_dim)
+            k = cm.dense(bp["attn"]["k"], y, policy).reshape(b, 1, cfg.num_kv_heads, cfg.head_dim)
+            v = cm.dense(bp["attn"]["v"], y, policy).reshape(b, 1, cfg.num_kv_heads, cfg.head_dim)
+            q = apply_rope(q, pos_ids, cfg.rope_base)
+            k = apply_rope(k, pos_ids, cfg.rope_base)
+            ck_l = jax.lax.dynamic_update_slice_in_dim(ck_l, k.astype(ck_l.dtype), p_len + i, axis=1)
+            cv_l = jax.lax.dynamic_update_slice_in_dim(cv_l, v.astype(cv_l.dtype), p_len + i, axis=1)
+            m = jnp.where(use_sliding, in_window, global_m)[:, None, :]
+            att = _softcap_attention(q, ck_l, cv_l, m, scale, cfg.attn_logit_softcap)
+            x = x + cm.rms_norm(
+                bp["post_attn_norm"],
+                cm.dense(bp["attn"]["o"], att.reshape(b, 1, -1), policy),
+                cfg.norm_eps,
+            )
+            y = cm.rms_norm(bp["pre_ffw_norm"], x, cfg.norm_eps)
+            ffw = cm.gemma_mlp(bp["mlp"], y, policy)
+            return x + cm.rms_norm(bp["post_ffw_norm"], ffw, cfg.norm_eps), (ck_l, cv_l)
+
+        x, (ck, cv) = jax.lax.scan(body, x, (params["blocks"], is_sliding, ck, cv))
+        x = cm.rms_norm(params["final_norm"], x, cfg.norm_eps)
+        nxt = jnp.argmax(logits(params, x[:, 0], cfg, policy), axis=-1)
+        return (nxt, pos + 1, ck, cv, key_valid, key_pos), token
+
+    (_, _, _, _, _, _), tokens = jax.lax.scan(
+        step,
+        (first_token, next_pos, cache_k, cache_v, key_valid0, key_pos0),
+        jnp.arange(max_new_tokens),
+    )
+    return tokens.T  # [B, max_new_tokens]
 
 
 # ---------------------------------------------------------------------------

@@ -222,9 +222,12 @@ def greedy_decode(
 # HF torch checkpoint -> params
 # ---------------------------------------------------------------------------
 
-def from_hf_state_dict(sd: dict, cfg: LlamaConfig, prefix: str = "model") -> cm.Params:
+def from_hf_state_dict(sd: dict, cfg: LlamaConfig, prefix: str = "model",
+                       head_key: str = "lm_head.weight") -> cm.Params:
     """Flat torch state dict (LlamaForCausalLM / Magma language_model naming)
-    -> param tree. Linear weights [out, in] -> kernels [in, out]."""
+    -> param tree. Linear weights [out, in] -> kernels [in, out].
+    ``head_key`` locates the unembedding when the LM is nested inside a
+    multimodal checkpoint (e.g. ``language_model.lm_head.weight``)."""
 
     def t(name):
         return np.asarray(sd[name]).T.copy()
@@ -254,7 +257,6 @@ def from_hf_state_dict(sd: dict, cfg: LlamaConfig, prefix: str = "model") -> cm.
         },
         "final_norm": {"scale": np.asarray(sd[prefix + ".norm.weight"])},
     }
-    head = "lm_head.weight"
-    if head in sd:
-        params["lm_head"] = {"kernel": t(head)}
+    if head_key in sd:
+        params["lm_head"] = {"kernel": t(head_key)}
     return params

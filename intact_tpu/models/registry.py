@@ -117,6 +117,24 @@ def _register_builtin() -> None:
         policy="intact_tpu.models.pi0.policy.Pi0Policy",
     )
 
+    # native Magma-8B (ConvNeXt-XXLarge + LLaMA-3-8B, HF-checkpoint import)
+    from intact_tpu.models.magma import MagmaConfig
+
+    register(
+        "magma_native",
+        config_cls=MagmaConfig,
+        default_config=MagmaConfig.magma_8b,
+        module="intact_tpu.models.magma.model",
+        policy="intact_tpu.serve.policy_wrapper.MagmaNativePolicyWrapper",
+    )
+    register(
+        "magma_native_tiny",
+        config_cls=MagmaConfig,
+        default_config=MagmaConfig.tiny,
+        module="intact_tpu.models.magma.model",
+        policy="intact_tpu.serve.policy_wrapper.MagmaNativePolicyWrapper",
+    )
+
     register(
         "pi0",
         config_cls=Pi0Config,

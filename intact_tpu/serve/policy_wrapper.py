@@ -286,6 +286,105 @@ class MagmaPolicyWrapper(BasePolicyWrapper):
         return self.env_adapter.postprocess(raw[None])
 
 
+class MagmaNativePolicyWrapper(BasePolicyWrapper):
+    """Fully native Magma path: ConvNeXt + projector + LLaMA-3 decode as ONE
+    XLA program (models/magma), replacing the reference's torch
+    `generate(use_cache=False)` Python loop (policy_wrapper.py:226-303).
+    Checkpoints: HF safetensors snapshot (imported) or Orbax step dirs."""
+
+    def __init__(self, config, model_cfg=None):
+        super().__init__(config)
+        import functools
+
+        import jax
+
+        from intact_tpu.models.common import SERVING_POLICY
+        from intact_tpu.models.magma import model as magma
+        from intact_tpu.models.tokenizer import make_tokenizer
+
+        self.model_cfg = model_cfg or config.make_model_config()
+        cfg = self.model_cfg
+        self._magma, self._jax = magma, jax
+        policy = SERVING_POLICY if config.use_bf16 else None
+        if policy is None:
+            from intact_tpu.models.common import DEFAULT_POLICY as policy
+        self._policy = policy
+        self.params = jax.jit(
+            lambda k: jax.tree.map(
+                lambda x: x.astype(policy.param_dtype), magma.init(k, cfg)
+            )
+        )(jax.random.key(config.seed))
+        # Magma tokenizes with the LLaMA-3 tokenizer; explicit asset or the
+        # hermetic hash fallback (make_tokenizer warns loudly)
+        self.tokenizer = make_tokenizer(
+            config.resolve_tokenizer_path(), cfg.max_prompt_tokens,
+            vocab_size=cfg.lm.vocab_size,
+        )
+        self._generate = jax.jit(
+            functools.partial(magma.generate, cfg=cfg, policy=policy)
+        )
+        path = config.eval_cfg.pretrained_model_path
+        if path:
+            self.switch_model(path)
+
+    def switch_model(self, new_model_path: str) -> None:
+        import os
+
+        if any(
+            f.endswith(".safetensors") for f in (
+                os.listdir(new_model_path) if os.path.isdir(new_model_path) else []
+            )
+        ):
+            raw = self._magma.load_magma_checkpoint(new_model_path, self.model_cfg)
+            self.params = self._jax.tree.map(
+                lambda x: self._jax.numpy.asarray(x, self._policy.param_dtype), raw
+            )
+        else:
+            from intact_tpu.train import checkpoint as ckpt_lib
+
+            self.params = ckpt_lib.restore_params(new_model_path, self.params)
+        self.env_adapter.reset()
+
+    # CLIP image normalization (the HF Magma processor's convention)
+    _CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+    _CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+
+    def _prep_images(self, image: np.ndarray) -> np.ndarray:
+        """Adapter output [B, H, W, 3] in [-1, 1] -> CLIP-normalized floats
+        at the vision tower's native resolution."""
+        import cv2
+
+        s = self.model_cfg.image_size
+        pix01 = (np.asarray(image, np.float32) + 1.0) / 2.0
+        if pix01.shape[1] != s or pix01.shape[2] != s:
+            pix01 = np.stack([
+                cv2.resize(im, (s, s), interpolation=cv2.INTER_LINEAR)
+                for im in pix01
+            ])
+        return (pix01 - self._CLIP_MEAN) / self._CLIP_STD
+
+    def select_action(self, obs: dict) -> np.ndarray:
+        from intact_tpu.serve.decoding import (
+            denormalize_with_quantiles,
+            tokens_to_actions,
+        )
+
+        cfg = self.model_cfg
+        inputs = self.env_adapter.preprocess(obs)
+        images = self._prep_images(inputs["image"])
+        tokens, masks = self._magma.build_prompt(self.tokenizer, inputs["task"], cfg)
+        out_ids = np.asarray(
+            self._generate(self.params, images, tokens, masks)
+        )[0, : cfg.n_action_tokens]
+        norm = tokens_to_actions(
+            out_ids, vocab_size=cfg.lm.vocab_size, n_bins=cfg.n_action_bins
+        )
+        stats = self.env_adapter.dataset_statistics["action"]
+        mask = np.array([True] * 6 + [False])
+        raw = denormalize_with_quantiles(norm, stats["p01"], stats["p99"], mask)
+        return self.env_adapter.postprocess(raw[None])
+
+
 def make_policy_wrapper(config):
     """Model type -> wrapper (reference run.py:24-56 policy_wrapper_map)."""
     mtype = config.model_cfg.get("type", "pi0")
@@ -300,6 +399,8 @@ def make_policy_wrapper(config):
         "octo_base_upstream": OctoPolicyWrapper,
         "spatialvla": SpatialVLAPolicyWrapper,
         "magma": MagmaPolicyWrapper,
+        "magma_native": MagmaNativePolicyWrapper,
+        "magma_native_tiny": MagmaNativePolicyWrapper,
     }
     if mtype not in wrappers:
         raise ValueError(

@@ -74,6 +74,56 @@ def test_sliding_window_matters(our_params):
     assert not np.allclose(np.asarray(out_window), np.asarray(out_global))
 
 
+def test_greedy_decode_matches_hf_generate(hf_gemma2):
+    """KV-cached in-graph greedy decode (g2.greedy_decode) token-for-token
+    vs HF Gemma2ForCausalLM.generate (greedy, tied embeddings)."""
+    from transformers import Gemma2ForCausalLM
+
+    lm = Gemma2ForCausalLM(hf_gemma2.config).eval().float()
+    torch.manual_seed(1)
+    for p in lm.parameters():
+        p.data.normal_(0, 0.05)
+    sd = {k: v.detach().numpy().astype(np.float32)
+          for k, v in lm.model.state_dict().items()}
+    params = g2.from_hf_state_dict(sd, CFG, prefix="")
+
+    ids = np.array([[3, 17, 42, 8, 1]], np.int64)
+    n_new = 6
+    with torch.no_grad():
+        ref = lm.generate(
+            torch.tensor(ids), max_new_tokens=n_new, do_sample=False,
+            use_cache=True, pad_token_id=0,
+        ).numpy()[:, ids.shape[1]:]
+
+    import jax
+
+    embeds = cm.embed_lookup(params["embed"], jnp.asarray(ids, jnp.int32), FP32)
+    embeds = embeds * jnp.asarray(CFG.width**0.5, jnp.float32)
+    mask = jnp.ones(ids.shape, bool)
+    ours = jax.jit(
+        lambda p, e, m: g2.greedy_decode(p, e, m, n_new, CFG, FP32)
+    )(params, embeds, mask)
+    np.testing.assert_array_equal(np.asarray(ours), ref)
+
+
+def test_greedy_decode_right_padded_prompt(our_params):
+    """Right-padded rows decode from the last VALID token; a padded prompt
+    must produce the same continuation as its unpadded version."""
+    import jax
+
+    ids = jnp.asarray(np.array([[3, 17, 42]]), jnp.int32)
+    emb = cm.embed_lookup(our_params["embed"], ids, FP32) * jnp.asarray(
+        CFG.width**0.5, jnp.float32)
+    out_a = g2.greedy_decode(our_params, emb, jnp.ones((1, 3), bool), 4, CFG, FP32)
+
+    ids_p = jnp.asarray(np.array([[3, 17, 42, 0, 0]]), jnp.int32)
+    emb_p = cm.embed_lookup(our_params["embed"], ids_p, FP32) * jnp.asarray(
+        CFG.width**0.5, jnp.float32)
+    mask_p = jnp.asarray(np.array([[True, True, True, False, False]]))
+    out_b = g2.greedy_decode(our_params, emb_p, mask_p, 4, CFG, FP32)
+    np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_b))
+
+
 def test_final_logit_softcap(our_params):
     h = jnp.asarray(np.random.default_rng(0).normal(size=(1, 2, CFG.width)) * 50,
                     jnp.float32)
