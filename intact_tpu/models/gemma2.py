@@ -119,10 +119,11 @@ def _softcap_attention(q, k, v, mask, scale, cap):
 
 
 def _sliding_mask(positions_q, positions_k, window: int):
-    """bool [B, T, S]: |q - k| < window with k <= q (combined with the
-    caller's causal/pad mask)."""
+    """bool [B, T, S]: |q - k| < window. Symmetric on purpose — causality
+    (k <= q) comes from the caller's mask, so a full bidirectional prefix
+    mask (PaliGemma2 prefix-LM) keeps sliding layers bidirectional too."""
     delta = positions_q[:, :, None] - positions_k[:, None, :]
-    return (delta >= 0) & (delta < window)
+    return jnp.abs(delta) < window
 
 
 def forward(
@@ -187,6 +188,7 @@ def greedy_decode(
     max_new_tokens: int,
     cfg: Gemma2Config,
     policy: DtypePolicy = DEFAULT_POLICY,
+    prefix_full_attention: bool = False,
 ) -> jnp.ndarray:
     """In-graph KV-cached greedy decode -> [B, max_new_tokens] token ids.
 
@@ -194,14 +196,21 @@ def greedy_decode(
     decode steps, no host round trips) with the Gemma2 particulars: four
     norms, attention/final softcaps, sqrt(width)-scaled token embeds, and
     the even-sliding/odd-global layer alternation (the sliding mask is
-    applied against cached KEY positions)."""
+    applied against cached KEY positions).
+
+    ``prefix_full_attention=True`` makes the prompt bidirectional (the
+    PaliGemma/PaliGemma2 prefix-LM convention: image+instruction tokens all
+    attend to each other; only generated tokens are causal)."""
     b, p_len, _ = prompt_embeds.shape
     scale = cfg.query_pre_attn_scalar**-0.5
     embed_scale = jnp.asarray(cfg.width**0.5, policy.compute_dtype)
     is_sliding = jnp.arange(cfg.depth) % 2 == 0
 
     positions = jnp.cumsum(prompt_mask.astype(jnp.int32), axis=1) - 1
-    causal = jnp.tril(jnp.ones((p_len, p_len), bool))[None]
+    if prefix_full_attention:
+        causal = jnp.ones((1, p_len, p_len), bool)
+    else:
+        causal = jnp.tril(jnp.ones((p_len, p_len), bool))[None]
     mask = causal & prompt_mask[:, None, :]
     hidden, kv = forward(params, prompt_embeds, mask, positions, cfg, policy)
 

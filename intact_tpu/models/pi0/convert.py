@@ -68,7 +68,10 @@ def _gemma_blocks_from_sd(sd: dict, prefix: str, cfg) -> dict:
     }
 
 
-def _siglip_from_sd(sd: dict, cfg) -> dict:
+def _siglip_from_sd(sd: dict, cfg, prefix: str = P_VISION) -> dict:
+    """transformers SiglipVisionModel naming -> siglip param tree; ``prefix``
+    locates the vision_model inside larger checkpoints (Pi0, SpatialVLA)."""
+    P_VISION = prefix
     fmt = P_VISION + ".encoder.layers.{i}."
     n = cfg.depth
 

@@ -117,6 +117,24 @@ def _register_builtin() -> None:
         policy="intact_tpu.models.pi0.policy.Pi0Policy",
     )
 
+    # native SpatialVLA-4B (SigLIP + Ego3D PE + Gemma2, HF-checkpoint import)
+    from intact_tpu.models.spatialvla import SpatialVLAConfig
+
+    register(
+        "spatialvla_native",
+        config_cls=SpatialVLAConfig,
+        default_config=SpatialVLAConfig.spatialvla_4b,
+        module="intact_tpu.models.spatialvla.model",
+        policy="intact_tpu.serve.policy_wrapper.SpatialVLANativePolicyWrapper",
+    )
+    register(
+        "spatialvla_native_tiny",
+        config_cls=SpatialVLAConfig,
+        default_config=SpatialVLAConfig.tiny,
+        module="intact_tpu.models.spatialvla.model",
+        policy="intact_tpu.serve.policy_wrapper.SpatialVLANativePolicyWrapper",
+    )
+
     # native Magma-8B (ConvNeXt-XXLarge + LLaMA-3-8B, HF-checkpoint import)
     from intact_tpu.models.magma import MagmaConfig
 

@@ -286,6 +286,109 @@ class MagmaPolicyWrapper(BasePolicyWrapper):
         return self.env_adapter.postprocess(raw[None])
 
 
+class SpatialVLANativePolicyWrapper(BasePolicyWrapper):
+    """Fully native SpatialVLA path: SigLIP + Ego3D PE + Gemma2 spatial-token
+    decode as ONE XLA program (models/spatialvla), replacing the reference's
+    torch `predict_action`/`decode_actions` (policy_wrapper.py:194-223).
+    Chunk ensembling mirrors the reference's SpatialVLA adapter
+    (exp-weighted ActionEnsembler, simpler.py:492-519)."""
+
+    def __init__(self, config, model_cfg=None):
+        super().__init__(config)
+        import functools
+
+        import jax
+
+        from intact_tpu.envs.adapters.simpler import ActionEnsembler
+        from intact_tpu.models.common import DEFAULT_POLICY, SERVING_POLICY
+        from intact_tpu.models.spatialvla import model as svla
+        from intact_tpu.models.tokenizer import make_tokenizer
+
+        self.model_cfg = model_cfg or config.make_model_config()
+        cfg = self.model_cfg
+        self._svla, self._jax = svla, jax
+        policy = SERVING_POLICY if config.use_bf16 else DEFAULT_POLICY
+        self._policy = policy
+        self.params = jax.jit(
+            lambda k: jax.tree.map(
+                lambda x: x.astype(policy.param_dtype), svla.init(k, cfg)
+            )
+        )(jax.random.key(config.seed))
+        # PaliGemma2 tokenizer asset (spatial tokens appended at the tail);
+        # hermetic hash fallback when unconfigured
+        self.tokenizer = make_tokenizer(
+            config.resolve_tokenizer_path(), cfg.tokenizer_max_length,
+            vocab_size=cfg.spatial_offset,
+        )
+        self.action_tokenizer = svla.make_action_tokenizer(cfg)
+        self.ensembler = ActionEnsembler(pred_horizon=cfg.n_action_steps)
+        self._predict = jax.jit(
+            functools.partial(svla.predict_action_tokens, cfg=cfg, policy=policy)
+        )
+        path = config.eval_cfg.pretrained_model_path
+        if path:
+            self.switch_model(path)
+
+    def reset(self) -> None:
+        super().reset()
+        self.ensembler.reset()
+
+    def switch_model(self, new_model_path: str) -> None:
+        import os
+
+        if any(
+            f.endswith(".safetensors") for f in (
+                os.listdir(new_model_path) if os.path.isdir(new_model_path) else []
+            )
+        ):
+            raw = self._svla.load_spatialvla_checkpoint(new_model_path, self.model_cfg)
+            self.params = self._jax.tree.map(
+                lambda x: self._jax.numpy.asarray(x, self._policy.param_dtype), raw
+            )
+        else:
+            from intact_tpu.train import checkpoint as ckpt_lib
+
+            self.params = ckpt_lib.restore_params(new_model_path, self.params)
+        self.reset()
+
+    def select_action(self, obs: dict) -> np.ndarray:
+        import cv2
+
+        cfg = self.model_cfg
+        inputs = self.env_adapter.preprocess(obs)
+        image = np.asarray(inputs["image"], np.float32)  # [1, H, W, 3] in [-1,1]
+        s = cfg.vision.image_size
+        if image.shape[1] != s or image.shape[2] != s:
+            image = np.stack([
+                cv2.resize(im, (s, s), interpolation=cv2.INTER_LINEAR)
+                for im in image
+            ])
+        depth = obs.get("observation.depth")
+        if depth is None:
+            # no depth estimator on the serving host: flat-plane prior (the
+            # upstream ZoeDepth estimate is an external asset; Ego3D then
+            # encodes ray directions + plane distance)
+            depth = self._svla.flat_depth(image.shape[0], cfg)
+        else:
+            g = cfg.vision.grid
+            d = np.asarray(depth, np.float32)
+            if d.ndim == 2:
+                d = d[None]
+            depth = np.stack([
+                cv2.resize(di, (g, g), interpolation=cv2.INTER_AREA) for di in d
+            ])
+
+        lang_tokens, lang_masks = self.tokenizer(inputs["task"], cfg.tokenizer_max_length)
+        ids = np.asarray(
+            self._predict(self.params, image, depth, lang_tokens, lang_masks)
+        )[0]
+        chunk = self.action_tokenizer.decode(
+            ids.reshape(cfg.n_action_steps, cfg.tokens_per_action)
+        )  # [n_steps, 7] normalized
+        ensembled = self.ensembler.ensemble(chunk)
+        return self.env_adapter.postprocess(ensembled[None])
+
+
 class MagmaNativePolicyWrapper(BasePolicyWrapper):
     """Fully native Magma path: ConvNeXt + projector + LLaMA-3 decode as ONE
     XLA program (models/magma), replacing the reference's torch
@@ -398,6 +501,8 @@ def make_policy_wrapper(config):
         "octo_small_upstream": OctoPolicyWrapper,
         "octo_base_upstream": OctoPolicyWrapper,
         "spatialvla": SpatialVLAPolicyWrapper,
+        "spatialvla_native": SpatialVLANativePolicyWrapper,
+        "spatialvla_native_tiny": SpatialVLANativePolicyWrapper,
         "magma": MagmaPolicyWrapper,
         "magma_native": MagmaNativePolicyWrapper,
         "magma_native_tiny": MagmaNativePolicyWrapper,
