@@ -149,9 +149,11 @@ def main() -> int:
                     help="train: expert-only fine-tune step throughput")
     args = ap.parse_args()
     if args.batch is None:
-        # train default 12 = largest batch that fits the honest fine-tune
-        # policy (bf16 frozen VLM + fp32 expert masters/moments + remat)
-        args.batch = 12 if args.mode == "train" else 64
+        # train default 48: with the frozen-prefix fast path (no VLM
+        # backward) batch 48 fits the honest fine-tune policy and sits on
+        # the throughput plateau (41.2/46.9/47.4 samples/s @ 12/48/64;
+        # 96 OOMs)
+        args.batch = 48 if args.mode == "train" else 64
     if args.mode == "train":
         return bench_train(args)
 

@@ -52,6 +52,11 @@ class MVLAConfig:
     attention_impl: str = "pallas"
     freeze_vision_encoder: bool = False
     train_expert_only: bool = False
+    # opt-in: ALSO freeze the metaqueries under train_expert_only, letting
+    # the trainer cut backprop at the VLM boundary entirely (the reference
+    # keeps metaqueries trainable through the frozen VLM,
+    # modeling_mvla.py:490 — so this is off by default)
+    freeze_metaqueries: bool = False
 
     @property
     def proj_width(self) -> int:

@@ -95,15 +95,29 @@ def embed_prefix(params, images, img_masks, lang_tokens, lang_masks, cfg: MVLACo
 
 
 def compute_prompt(params, images, img_masks, lang_tokens, lang_masks, cfg: MVLAConfig,
-                   policy: DtypePolicy = DEFAULT_POLICY) -> jnp.ndarray:
-    """Full prefix pass -> connector prompt [B, num_metaqueries, proj_width]."""
+                   policy: DtypePolicy = DEFAULT_POLICY,
+                   stop_vlm_gradient: bool = False) -> jnp.ndarray:
+    """Full prefix pass -> connector prompt [B, num_metaqueries, proj_width].
+
+    ``stop_vlm_gradient`` cuts backprop at the VLM/connector boundary.
+    NOTE: unlike Pi0's train_expert_only (where nothing trainable sits
+    upstream of the cut, models/pi0/model.py:predict_velocity_frozen_prefix),
+    MVLA's METAQUERIES stay trainable under train_expert_only (reference
+    modeling_mvla.py:490 — a separate nn.Parameter outside the frozen
+    paligemma) and their gradient flows through the VLM activations, so this
+    cut is NOT applied automatically; it is an explicit opt-in for runs that
+    also freeze the metaqueries."""
     embs, pad, att = embed_prefix(params, images, img_masks, lang_tokens, lang_masks, cfg, policy)
     mask = make_att_2d_masks(pad, att)
     positions = jnp.cumsum(pad.astype(jnp.int32), axis=1) - 1
+    if stop_vlm_gradient:
+        embs = jax.lax.stop_gradient(embs)
     prefix_out, _ = gemma.prefill(
         params["vlm"], embs, mask, positions, cfg.vlm, policy, cfg.attention_impl
     )
     mq_out = prefix_out[:, -cfg.num_metaqueries:]
+    if stop_vlm_gradient:
+        mq_out = jax.lax.stop_gradient(mq_out)
     return connector_lib.apply(params["connector"], mq_out, cfg.connector, policy)
 
 
@@ -148,12 +162,16 @@ def _dit_eps_fn(params, cfg: MVLAConfig, policy: DtypePolicy):
 
 def compute_loss(params, key, batch: dict, cfg: MVLAConfig,
                  policy: DtypePolicy = DEFAULT_POLICY, train: bool = True):
+    # metaqueries train THROUGH the frozen VLM (see compute_prompt note), so
+    # train_expert_only must keep the VLM backward; only an explicit
+    # freeze_metaqueries config cuts it
+    stop_vlm = train and cfg.train_expert_only and cfg.freeze_metaqueries
     if cfg.action_head == "dit":
         from intact_tpu.models import diffusion as diff
 
         prompt = compute_prompt(
             params, batch["images"], batch["img_masks"], batch["lang_tokens"],
-            batch["lang_masks"], cfg, policy,
+            batch["lang_masks"], cfg, policy, stop_vlm_gradient=stop_vlm,
         )
         cond = prompt.mean(axis=1).astype(jnp.float32)  # pooled metaqueries
         schedule = diff.make_schedule(cfg.diffusion_steps)
@@ -174,7 +192,7 @@ def compute_loss(params, key, batch: dict, cfg: MVLAConfig,
 
     prompt = compute_prompt(
         params, batch["images"], batch["img_masks"], batch["lang_tokens"],
-        batch["lang_masks"], cfg, policy,
+        batch["lang_masks"], cfg, policy, stop_vlm_gradient=stop_vlm,
     )
     v_t = predict_velocity(params, prompt, batch["state"], x_t, time, cfg, policy)
 

@@ -159,7 +159,12 @@ def compute_loss(params, key, batch: dict, cfg: Pi0Config,
     x_t = t * noise + (1 - t) * actions
     u_t = noise - actions
 
-    v_t = predict_velocity(
+    predict = (
+        predict_velocity_frozen_prefix
+        if (train and cfg.train_expert_only)
+        else predict_velocity
+    )
+    v_t = predict(
         params, batch["images"], batch["img_masks"], batch["lang_tokens"],
         batch["lang_masks"], batch["state"], x_t, time, cfg, policy,
     )
@@ -191,6 +196,49 @@ def predict_velocity(params, images, img_masks, lang_tokens, lang_masks, state,
     _, suffix_out = gemma.forward_joint(
         params["vlm"], params["expert"], pre_embs, suf_embs, mask_2d, positions,
         cfg.vlm, cfg.expert, policy, cfg.attention_impl,
+    )
+    suffix_out = suffix_out[:, -cfg.chunk_size:].astype(jnp.float32)
+    return cm.dense(params["action_out_proj"], suffix_out, DtypePolicy(
+        param_dtype=jnp.float32, compute_dtype=jnp.float32))
+
+
+def predict_velocity_frozen_prefix(params, images, img_masks, lang_tokens,
+                                   lang_masks, state, x_t, time, cfg: Pi0Config,
+                                   policy: DtypePolicy = DEFAULT_POLICY):
+    """Expert-only fine-tune fast path: the prefix tower (SigLIP + 3B VLM)
+    is frozen, so run it forward-only (gemma.prefill) and stop_gradient the
+    K/V cache — XLA then compiles NO backward through the VLM at all
+    (the joint path spends ~3/4 of its backward FLOPs recomputing+
+    backpropping the frozen tower only for the optimizer to mask the grads
+    to zero). Expert/head gradients are mathematically identical: the only
+    gradient paths through prefix K/V lead to frozen parameters
+    (tests/test_model_pi0.py pins grad equality vs the joint path)."""
+    stop = jax.lax.stop_gradient
+    b = state.shape[0]
+
+    pre_embs, pre_pad, pre_att = embed_prefix(
+        params, images, img_masks, lang_tokens, lang_masks, cfg, policy
+    )
+    pre_mask = make_att_2d_masks(pre_pad, pre_att)
+    pre_pos = jnp.cumsum(pre_pad.astype(jnp.int32), axis=1) - 1
+    _, kv_cache = gemma.prefill(
+        params["vlm"], stop(pre_embs), pre_mask, pre_pos, cfg.vlm, policy,
+        cfg.attention_impl,
+    )
+    kv_cache = stop(kv_cache)
+
+    suf_embs, suf_pad, suf_att = embed_suffix(params, state, x_t, time, cfg, policy)
+    suf_self = make_att_2d_masks(suf_pad, suf_att)
+    suf_to_pre = jnp.broadcast_to(
+        pre_pad[:, None, :], (b, suf_pad.shape[1], pre_pad.shape[1])
+    )
+    dec_mask = jnp.concatenate([suf_to_pre, suf_self], axis=2)  # [B, S, P+S]
+    prefix_count = pre_pad.sum(axis=1, keepdims=True).astype(jnp.int32)
+    suf_pos = prefix_count + jnp.cumsum(suf_pad.astype(jnp.int32), axis=1) - 1
+
+    suffix_out = gemma.decode(
+        params["expert"], kv_cache, suf_embs, dec_mask, suf_pos,
+        cfg.expert, policy, cfg.attention_impl,
     )
     suffix_out = suffix_out[:, -cfg.chunk_size:].astype(jnp.float32)
     return cm.dense(params["action_out_proj"], suffix_out, DtypePolicy(

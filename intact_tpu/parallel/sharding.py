@@ -35,10 +35,14 @@ DEFAULT_RULES: list[tuple[str, P]] = [
     (r".*blocks/mlp/(gate|up|fc1)/kernel$", P(None, "fsdp", "tensor")),
     (r".*blocks/mlp/(down|fc2)/kernel$", P(None, "tensor", "fsdp")),
     (r".*blocks/mlp/fc1/bias$", P(None, "tensor")),
-    # multimodal projector + pi0 heads (unstacked 2D)
-    (r".*(img_proj|time_mlp_in|time_mlp_out)/kernel$", P("fsdp", "tensor")),
-    (r".*(state_proj|action_in_proj)/kernel$", P(None, "tensor")),
-    (r".*action_out_proj/kernel$", P("tensor", None)),
+    # Glue projections (img_proj / time fusion / action heads): REPLICATED
+    # on purpose. They are a few MB each, and tensor/fsdp-sharding their
+    # contraction or output dims forces the SPMD partitioner to reshard the
+    # batch-sharded activations around microscopic matmuls ("involuntary
+    # full rematerialization" all-gathers in the jvp) — the collectives cost
+    # more than the sharding saves.
+    (r".*(img_proj|time_mlp_in|time_mlp_out)/kernel$", P()),
+    (r".*(state_proj|action_in_proj|action_out_proj)/kernel$", P()),
     # conv patch embed: shard output channels
     (r".*patch_embed/kernel$", P(None, None, None, "tensor")),
     # everything else (norms, biases, pos_embed) replicated

@@ -47,9 +47,28 @@ def make_train_step(
     tx: optax.GradientTransformation,
     policy: cm.DtypePolicy = cm.DEFAULT_POLICY,
     remat: bool = False,
+    trainable_mask=None,  # pytree of bool like params; True = trainable
 ):
     """-> step(state, batch) -> (state, metrics). Pure; jit at the call site
-    with shardings + donate_argnums=(0,)."""
+    with shardings + donate_argnums=(0,)].
+
+    ``trainable_mask`` stop-gradients FROZEN param leaves inside the loss:
+    JAX's symbolic-zero AD then never emits the dL/dW contractions for
+    frozen weights (the optimizer would mask those grads to zero anyway —
+    the reference relies on torch requires_grad=False for the same saving,
+    trainer.py:109-123). Activation gradients still flow, so parameters
+    that train THROUGH frozen layers (e.g. MVLA metaqueries) are unaffected.
+    """
+
+    if trainable_mask is not None:
+        base_loss = loss_fn
+
+        def loss_fn(params, key, batch):  # noqa: F811
+            params = jax.tree.map(
+                lambda p, m: p if m else jax.lax.stop_gradient(p),
+                params, trainable_mask,
+            )
+            return base_loss(params, key, batch)
 
     if remat:
         loss_fn = jax.checkpoint(loss_fn, static_argnums=())

@@ -219,7 +219,8 @@ class Trainer:
             return self.model.compute_loss(p, key, batch, self.model_cfg, self.policy)
 
         self.train_step = jit_train_step(
-            make_train_step(loss_fn, self.tx, self.policy, remat=cfg.remat),
+            make_train_step(loss_fn, self.tx, self.policy, remat=cfg.remat,
+                            trainable_mask=frozen_mask),
             self.mesh, self.shardings, self.batch_shard,
         )
 
@@ -291,6 +292,11 @@ class Trainer:
                 mask["vlm_embed"] = jax.tree.map(lambda _: False, mask["vlm_embed"])
                 if mc.freeze_vision_encoder or mc.train_expert_only:
                     mask["img_proj"] = jax.tree.map(lambda _: False, mask["img_proj"])
+        # MVLA opt-in (config.freeze_metaqueries): freeze the metaqueries so
+        # the model's stop-gradient at the VLM boundary is consistent with
+        # the optimizer mask
+        if getattr(mc, "freeze_metaqueries", False) and "metaquery" in mask:
+            mask["metaquery"] = jax.tree.map(lambda _: False, mask["metaquery"])
         return mask
 
     # ------------------------------------------------------------------

@@ -87,6 +87,51 @@ class TestMVLA:
             np.asarray(v_direct), np.asarray(v_cached), rtol=1e-6, atol=1e-6
         )
 
+    def test_expert_only_keeps_metaquery_gradient(self, cfg, params, batch):
+        """Plain train_expert_only matches the reference semantics: the
+        metaqueries keep training THROUGH the frozen VLM
+        (modeling_mvla.py:490 is a Parameter outside paligemma), so no
+        stop-gradient fires and the full loss path is unchanged."""
+        import dataclasses
+
+        cfg_eo = dataclasses.replace(cfg, train_expert_only=True)
+        key = jax.random.key(2)
+        g_full = jax.grad(lambda p: mvla.compute_loss(p, key, batch, cfg, FP32)[0])(params)
+        g_eo = jax.grad(lambda p: mvla.compute_loss(p, key, batch, cfg_eo, FP32)[0])(params)
+        np.testing.assert_allclose(
+            np.asarray(g_eo["metaquery"]), np.asarray(g_full["metaquery"]),
+            rtol=1e-6,
+        )
+        assert float(jnp.abs(g_eo["metaquery"]).sum()) > 0
+
+    def test_freeze_metaqueries_cuts_vlm_backward(self, cfg, params, batch):
+        """freeze_metaqueries opt-in: stop-gradient at the VLM boundary —
+        connector/expert/head grads identical to the full path; SigLIP/VLM/
+        metaquery grads exactly zero (no backward through the 3B tower)."""
+        import dataclasses
+
+        cfg_eo = dataclasses.replace(cfg, train_expert_only=True,
+                                     freeze_metaqueries=True)
+        key = jax.random.key(2)
+
+        g_full = jax.grad(lambda p: mvla.compute_loss(p, key, batch, cfg, FP32)[0])(params)
+        g_eo = jax.grad(lambda p: mvla.compute_loss(p, key, batch, cfg_eo, FP32)[0])(params)
+
+        for name in ["connector", "expert", "state_proj", "action_in_proj",
+                     "action_out_proj"]:
+            a = jax.tree_util.tree_flatten_with_path(g_full[name])[0]
+            b_ = dict(jax.tree_util.tree_flatten_with_path(g_eo[name])[0])
+            for path, leaf in a:
+                np.testing.assert_allclose(
+                    np.asarray(b_[path]), np.asarray(leaf), rtol=2e-4, atol=1e-6,
+                    err_msg=f"{name}{jax.tree_util.keystr(path)}",
+                )
+        for name in ["siglip", "vlm", "vlm_embed", "img_proj", "metaquery"]:
+            if name not in g_eo:
+                continue
+            total = sum(float(jnp.abs(g).sum()) for g in jax.tree.leaves(g_eo[name]))
+            assert total == 0.0, name
+
     def test_odd_depth_rejected(self, cfg):
         from intact_tpu.models.gemma import tiny_test_config
 

@@ -94,6 +94,102 @@ class TestForward:
             assert sum(jax.tree.leaves(jax.tree.map(float, norms[name]))) > 0, name
 
 
+class TestFrozenPrefixPath:
+    """train_expert_only fast path (predict_velocity_frozen_prefix): no
+    backward through the frozen VLM, gradients identical to the joint path
+    for everything trainable."""
+
+    def test_velocity_matches_joint(self, cfg, params, batch):
+        x_t = jnp.asarray(np.random.default_rng(3).normal(
+            size=(2, cfg.chunk_size, cfg.max_action_dim)), jnp.float32)
+        time = jnp.asarray([0.3, 0.8], jnp.float32)
+        args = (params, batch["images"], batch["img_masks"],
+                batch["lang_tokens"], batch["lang_masks"], batch["state"],
+                x_t, time, cfg, FP32)
+        v_joint = pi0.predict_velocity(*args)
+        v_frozen = pi0.predict_velocity_frozen_prefix(*args)
+        np.testing.assert_allclose(
+            np.asarray(v_frozen), np.asarray(v_joint), rtol=1e-5, atol=1e-5
+        )
+
+    def test_grads_identical_for_trainable_and_zero_for_frozen(self, cfg, params, batch):
+        import dataclasses
+
+        cfg_eo = dataclasses.replace(cfg, train_expert_only=True)
+        key = jax.random.key(2)
+
+        def loss_joint(p):
+            # joint path regardless of the flag (train=False disables the
+            # fast path; grads are still taken)
+            return pi0.compute_loss(p, key, batch, cfg, FP32)[0]
+
+        def loss_frozen(p):
+            return pi0.compute_loss(p, key, batch, cfg_eo, FP32)[0]
+
+        g_joint = jax.grad(loss_joint)(params)
+        g_frozen = jax.grad(loss_frozen)(params)
+
+        for name in ["expert", "state_proj", "action_in_proj", "time_mlp_in",
+                     "time_mlp_out", "action_out_proj"]:
+            a = jax.tree_util.tree_flatten_with_path(g_joint[name])[0]
+            b_ = dict(jax.tree_util.tree_flatten_with_path(g_frozen[name])[0])
+            for path, leaf in a:
+                np.testing.assert_allclose(
+                    np.asarray(b_[path]), np.asarray(leaf),
+                    rtol=2e-4, atol=1e-6,
+                    err_msg=f"{name}{jax.tree_util.keystr(path)}",
+                )
+        # the frozen tower's grads are exactly zero (no backward compiled)
+        for name in ["siglip", "vlm", "img_proj", "vlm_embed"]:
+            total = sum(
+                float(jnp.abs(g).sum()) for g in jax.tree.leaves(g_frozen[name])
+            )
+            assert total == 0.0, name
+
+
+class TestMaskedTrainStep:
+    def test_masked_step_matches_unmasked(self, cfg, params, batch):
+        """make_train_step(trainable_mask=...) must produce the same updated
+        params as the plain step + optax mask (the stop-gradient only
+        removes dL/dW work the optimizer would zero anyway)."""
+        from intact_tpu.models.pi0 import model as pi0_model
+        from intact_tpu.train.optim import OptimizerConfig, make_optimizer
+        from intact_tpu.train.train_step import init_train_state, make_train_step
+
+        trainable = jax.tree.map(lambda _: True, params)
+        for name in ["siglip", "vlm", "vlm_embed", "img_proj"]:
+            trainable[name] = jax.tree.map(lambda _: False, trainable[name])
+
+        tx, _ = make_optimizer(
+            OptimizerConfig(lr=1e-3, warmup_steps=1, first_cycle_steps=100),
+            frozen_mask=trainable,
+        )
+
+        def loss_fn(p, key, b):
+            return pi0_model.compute_loss(p, key, b, cfg, FP32)
+
+        s0 = init_train_state(params, tx, seed=0)
+        plain = make_train_step(loss_fn, tx, FP32)
+        masked = make_train_step(loss_fn, tx, FP32, trainable_mask=trainable)
+        sa, _ = jax.jit(plain)(s0, batch)
+        s0b = init_train_state(params, tx, seed=0)
+        sb, mb = jax.jit(masked)(s0b, batch)
+
+        flat_a = jax.tree_util.tree_flatten_with_path(sa.params)[0]
+        flat_b = dict(jax.tree_util.tree_flatten_with_path(sb.params)[0])
+        for path, leaf in flat_a:
+            np.testing.assert_allclose(
+                np.asarray(flat_b[path]), np.asarray(leaf), rtol=1e-6, atol=1e-7,
+                err_msg=jax.tree_util.keystr(path),
+            )
+        # frozen leaves really did not move
+        np.testing.assert_array_equal(
+            np.asarray(sb.params["vlm"]["final_norm"]["scale"]),
+            np.asarray(params["vlm"]["final_norm"]["scale"]),
+        )
+        assert np.isfinite(float(mb["l2_loss"]))
+
+
 class TestSampling:
     def test_sample_shape_finite_deterministic(self, cfg, params, batch):
         fn = jax.jit(
