@@ -49,30 +49,43 @@ def bench_train(args) -> int:
 
     enable_compile_cache()
 
+    import importlib
+
     import jax.numpy as jnp
 
     from intact_tpu.models import common as cm
-    from intact_tpu.models.pi0 import Pi0Config, model as pi0
+    from intact_tpu.models import registry as model_registry
     from intact_tpu.train.optim import OptimizerConfig, make_optimizer
     from intact_tpu.train.train_step import init_train_state, make_train_step
 
-    cfg = Pi0Config.tiny() if args.tiny else Pi0Config.bridge()
-    cfg = dataclasses.replace(cfg, train_expert_only=True)
+    entry = model_registry.get(args.model + ("_tiny" if args.tiny else ""))
+    pi0 = importlib.import_module(entry["module"])  # family model module
+    cfg = entry["default_config"]()
+    if hasattr(cfg, "train_expert_only"):
+        cfg = dataclasses.replace(cfg, train_expert_only=True)
     policy = cm.DtypePolicy(
         param_dtype=jnp.float32,
         compute_dtype=jnp.bfloat16 if not args.cpu else jnp.float32,
     )
     b = args.batch
-    print(f"# train mode: device={jax.devices()[0]} batch={b}", file=sys.stderr)
+    print(f"# train mode: device={jax.devices()[0]} batch={b} model={args.model}",
+          file=sys.stderr)
 
     t0 = time.time()
-    trainable = jax.tree.map(
-        lambda _: False,
-        jax.eval_shape(lambda k: pi0.init(k, cfg), jax.random.key(0)),
-    )
-    for name in ["expert", "state_proj", "action_in_proj", "time_mlp_in",
-                 "time_mlp_out", "action_out_proj"]:
+    template = jax.eval_shape(lambda k: pi0.init(k, cfg), jax.random.key(0))
+    trainable = jax.tree.map(lambda _: False, template)
+    # per-family trainable set under train_expert_only (frozen: SigLIP + VLM
+    # + their glue; MVLA's metaqueries/connector train through the frozen VLM)
+    trainable_names = [
+        n for n in ["expert", "connector", "metaquery", "state_proj",
+                    "action_in_proj", "time_mlp_in", "time_mlp_out",
+                    "action_out_proj", "action_head", "value_head"]
+        if n in template
+    ]
+    for name in trainable_names:
         trainable[name] = jax.tree.map(lambda _: True, trainable[name])
+    if not trainable_names:  # pi0fast: AR over the VLM itself -> full fine-tune
+        trainable = jax.tree.map(lambda _: True, template)
 
     frozen_dtype = jnp.float32 if args.cpu else jnp.bfloat16
     params = jax.jit(
@@ -91,8 +104,11 @@ def bench_train(args) -> int:
         return pi0.compute_loss(p, key, batch, cfg, policy)
 
     state = init_train_state(params, tx, seed=0)
-    step = jax.jit(make_train_step(loss_fn, tx, policy, remat=True),
-                   donate_argnums=(0,))
+    step = jax.jit(
+        make_train_step(loss_fn, tx, policy, remat=True,
+                        trainable_mask=trainable if trainable_names else None),
+        donate_argnums=(0,),
+    )
     print(f"# init {time.time()-t0:.1f}s", file=sys.stderr)
 
     ks = jax.random.split(jax.random.key(1), 4)
@@ -126,7 +142,7 @@ def bench_train(args) -> int:
     print(f"# median step {t_med*1e3:.1f} ms -> {samples_per_sec:.1f} samples/s",
           file=sys.stderr)
     print(json.dumps({
-        "metric": "pi0_train_samples_per_sec_per_chip",
+        "metric": f"{args.model}_train_samples_per_sec_per_chip",
         "value": round(samples_per_sec, 2),
         "unit": "samples/s",
         "vs_baseline": round(samples_per_sec / PER_DEVICE_BASELINE_TRAIN_SAMPLES_PER_SEC, 3),
@@ -147,6 +163,9 @@ def main() -> int:
                     help="W8A8 dynamic-quant serving (block matmuls on the int8 MXU)")
     ap.add_argument("--mode", choices=["serve", "train"], default="serve",
                     help="train: expert-only fine-tune step throughput")
+    ap.add_argument("--model", choices=["pi0", "pi0fast", "mvla"], default="pi0",
+                    help="serve-mode model family (all share the "
+                         "sample_actions signature)")
     args = ap.parse_args()
     if args.batch is None:
         # train default 48: with the frozen-prefix fast path (no VLM
@@ -169,12 +188,16 @@ def main() -> int:
     import jax.numpy as jnp
 
     from intact_tpu.models.common import SERVING_POLICY, DtypePolicy
-    from intact_tpu.models.pi0 import Pi0Config, model as pi0
+    from intact_tpu.models import registry as model_registry
 
     import dataclasses
+    import importlib
 
-    cfg = Pi0Config.tiny() if args.tiny else Pi0Config.bridge()
-    cfg = dataclasses.replace(cfg, attention_impl=args.attention)
+    entry = model_registry.get(args.model + ("_tiny" if args.tiny else ""))
+    pi0 = importlib.import_module(entry["module"])  # family model module
+    cfg = entry["default_config"]()
+    if hasattr(cfg, "attention_impl"):
+        cfg = dataclasses.replace(cfg, attention_impl=args.attention)
     policy = (
         DtypePolicy(param_dtype=jnp.float32, compute_dtype=jnp.float32)
         if args.cpu
@@ -182,7 +205,8 @@ def main() -> int:
     )
 
     dev = jax.devices()[0]
-    print(f"# device={dev} batch={args.batch} model={'tiny' if args.tiny else 'bridge-3B'}",
+    print(f"# device={dev} batch={args.batch} "
+          f"model={args.model}{'-tiny' if args.tiny else ''}",
           file=sys.stderr)
 
     t0 = time.time()
@@ -243,7 +267,7 @@ def main() -> int:
     )
 
     print(json.dumps({
-        "metric": "pi0_policy_steps_per_sec_per_chip",
+        "metric": f"{args.model}_policy_steps_per_sec_per_chip",
         "value": round(steps_per_sec, 2),
         "unit": "policy_steps/s",
         "vs_baseline": round(steps_per_sec / PER_CHIP_BASELINE_STEPS_PER_SEC, 3),
