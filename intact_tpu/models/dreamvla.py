@@ -9,7 +9,12 @@ built from the framework's own pieces:
   frame -> ViT patch encoder -> Perceiver resampler (learned latents
   cross-attend patches) -> causal transformer over per-timestep
   [obs latents | readout] blocks -> heads: action chunk + next-frame latent
-  prediction (the world-model auxiliary loss).
+  prediction (the world-model auxiliary loss) + the reference's three
+  auxiliary "dream" heads (dynamic region / depth / semantic), each gated
+  on its target being present in the batch (the reference precomputes
+  optical-flow masks, depth maps, and DINO/SAM features offline —
+  dreamvla_model.py heads; here they are per-patch predictions off the
+  readout token).
 
 Experimental: registered for research use, not part of the serving matrix.
 """
@@ -47,6 +52,12 @@ class DreamVLAConfig:
     horizon: int = 4
     world_loss_weight: float = 0.5
     norm_eps: float = 1e-6
+    # auxiliary "dream" prediction heads (reference dreamvla_model.py):
+    # losses fire only when the batch carries the matching target
+    dynamic_loss_weight: float = 0.1   # target "dynamic_mask" [B,T,G,G]
+    depth_loss_weight: float = 0.1     # target "depth" [B,T,G,G]
+    semantic_dim: int = 32             # target "semantic" [B,T,L,semantic_dim]
+    semantic_loss_weight: float = 0.1
 
     @staticmethod
     def tiny() -> "DreamVLAConfig":
@@ -83,6 +94,13 @@ def init(key, cfg: DreamVLAConfig) -> cm.Params:
             "action": cm.dense_init(ks[9], d, cfg.horizon * cfg.action_dim),
             "world": cm.dense_init(jax.random.fold_in(ks[9], 1), d,
                                    cfg.num_latents * d),
+            # per-patch auxiliary predictions (G = vision.grid)
+            "dynamic": cm.dense_init(jax.random.fold_in(ks[9], 2), d,
+                                     cfg.vision.grid ** 2),
+            "depth": cm.dense_init(jax.random.fold_in(ks[9], 3), d,
+                                   cfg.vision.grid ** 2),
+            "semantic": cm.dense_init(jax.random.fold_in(ks[9], 4), d,
+                                      cfg.num_latents * cfg.semantic_dim),
         },
     }
 
@@ -150,18 +168,30 @@ def forward(params, images, cfg: DreamVLAConfig,
 
     readout_out = tokens[:, :, -1]  # [B, T, D]
     fp32 = DtypePolicy(param_dtype=jnp.float32, compute_dtype=jnp.float32)
-    actions = cm.dense(params["heads"]["action"], readout_out[:, -1].astype(jnp.float32), fp32)
+    ro32 = readout_out.astype(jnp.float32)
+    actions = cm.dense(params["heads"]["action"], ro32[:, -1], fp32)
     actions = actions.reshape(b, cfg.horizon, cfg.action_dim)
-    pred_next = cm.dense(params["heads"]["world"], readout_out.astype(jnp.float32), fp32)
+    pred_next = cm.dense(params["heads"]["world"], ro32, fp32)
     pred_next = pred_next.reshape(b, t, cfg.num_latents, d)
-    return actions, lat, pred_next
+    g = cfg.vision.grid
+    aux = {
+        "dynamic": cm.dense(params["heads"]["dynamic"], ro32, fp32).reshape(b, t, g, g),
+        "depth": cm.dense(params["heads"]["depth"], ro32, fp32).reshape(b, t, g, g),
+        "semantic": cm.dense(params["heads"]["semantic"], ro32, fp32).reshape(
+            b, t, cfg.num_latents, cfg.semantic_dim),
+    }
+    return actions, lat, pred_next, aux
 
 
 def compute_loss(params, key, batch: dict, cfg: DreamVLAConfig,
                  policy: DtypePolicy = DEFAULT_POLICY, train: bool = True):
-    """Action MSE + world-model loss (predict frame t+1 latents from <=t)."""
+    """Action MSE + world-model loss (predict frame t+1 latents from <=t)
+    + the gated auxiliary dream losses (dynamic-region BCE, depth MSE,
+    semantic-feature MSE) when their targets ride in the batch."""
     del key
-    actions_pred, lat, pred_next = forward(params, batch["images"], cfg, policy)
+    actions_pred, lat, pred_next, aux_pred = forward(
+        params, batch["images"], cfg, policy
+    )
     gt = batch["actions"][:, : cfg.horizon, : cfg.action_dim].astype(jnp.float32)
     action_loss = jnp.mean(jnp.square(actions_pred - gt))
 
@@ -170,4 +200,24 @@ def compute_loss(params, key, batch: dict, cfg: DreamVLAConfig,
     world_loss = jnp.mean(jnp.square(pred_next[:, :-1].astype(jnp.float32) - target))
 
     loss = action_loss + cfg.world_loss_weight * world_loss
-    return loss, {"l2_loss": loss, "action_loss": action_loss, "world_loss": world_loss}
+    metrics = {"action_loss": action_loss, "world_loss": world_loss}
+
+    if "dynamic_mask" in batch:  # [B, T, G, G] in {0, 1} (from optical flow)
+        tgt = batch["dynamic_mask"].astype(jnp.float32)
+        logits = aux_pred["dynamic"]
+        bce = jnp.mean(
+            jnp.maximum(logits, 0) - logits * tgt + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+        )
+        loss = loss + cfg.dynamic_loss_weight * bce
+        metrics["dynamic_loss"] = bce
+    if "depth" in batch:  # [B, T, G, G] metric depth at patch resolution
+        dl = jnp.mean(jnp.square(aux_pred["depth"] - batch["depth"].astype(jnp.float32)))
+        loss = loss + cfg.depth_loss_weight * dl
+        metrics["depth_loss"] = dl
+    if "semantic" in batch:  # [B, T, L, semantic_dim] (DINO/SAM features)
+        sl = jnp.mean(jnp.square(
+            aux_pred["semantic"] - batch["semantic"].astype(jnp.float32)))
+        loss = loss + cfg.semantic_loss_weight * sl
+        metrics["semantic_loss"] = sl
+
+    return loss, {"l2_loss": loss, **metrics}
