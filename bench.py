@@ -145,7 +145,12 @@ def bench_train(args) -> int:
         "metric": f"{args.model}_train_samples_per_sec_per_chip",
         "value": round(samples_per_sec, 2),
         "unit": "samples/s",
-        "vs_baseline": round(samples_per_sec / PER_DEVICE_BASELINE_TRAIN_SAMPLES_PER_SEC, 3),
+        # the BASELINE.md envelope is the Pi0 bridge fine-tune; other
+        # families have no reference number to compare against
+        "vs_baseline": (
+            round(samples_per_sec / PER_DEVICE_BASELINE_TRAIN_SAMPLES_PER_SEC, 3)
+            if args.model == "pi0" else None
+        ),
     }))
     return 0
 
@@ -270,7 +275,12 @@ def main() -> int:
         "metric": f"{args.model}_policy_steps_per_sec_per_chip",
         "value": round(steps_per_sec, 2),
         "unit": "policy_steps/s",
-        "vs_baseline": round(steps_per_sec / PER_CHIP_BASELINE_STEPS_PER_SEC, 3),
+        # the >=125/chip target is the Pi0 bridge operating point; chunk-50
+        # mvla etc. are not comparable against it
+        "vs_baseline": (
+            round(steps_per_sec / PER_CHIP_BASELINE_STEPS_PER_SEC, 3)
+            if args.model == "pi0" else None
+        ),
     }))
     return 0
 

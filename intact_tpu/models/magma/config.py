@@ -24,7 +24,13 @@ class MagmaConfig:
     lm: LlamaConfig
     image_size: int = 512          # ConvNeXt input; /32 -> 16x16 = 256 tokens
     projector_layers: int = 2      # LLaVA-style linear-GELU-linear
-    image_token_id: int = 128_257  # placeholder id spliced with vision features
+    # Placeholder id spliced with vision features. MUST lie inside
+    # lm.vocab_size and match the id the checkpoint's tokenizer assigns to
+    # its <image> token (LLaMA-3 ships reserved special ids 128000-128255
+    # for exactly this, so the default uses the last reserved slot); set it
+    # from the real tokenizer when serving a released checkpoint.
+    image_token_id: int = 128_255
+    use_chat_template: bool = True  # LLaMA-3 instruct framing (ref prompt)
     n_action_tokens: int = 7       # xyz + rpy + gripper, one token each
     n_action_bins: int = 256       # tail-of-vocab uniform bins
     max_prompt_tokens: int = 64    # text budget after the image block
@@ -57,5 +63,5 @@ class MagmaConfig:
         return cls(
             vision=cn_tiny(), lm=lm, image_size=32,
             image_token_id=lm.vocab_size - 300, max_prompt_tokens=12,
-            tokenizer_max_length=12,
+            tokenizer_max_length=12, use_chat_template=False,
         )

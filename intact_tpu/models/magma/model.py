@@ -83,16 +83,59 @@ def generate(params, images, tokens, masks, cfg: MagmaConfig,
     return llama.greedy_decode(params["lm"], embeds, mask, n, cfg.lm, policy)
 
 
+# LLaMA-3-instruct chat framing around the user turn — what
+# apply_chat_template(add_generation_prompt=True) produces and what the
+# reference serves through (policy_wrapper.py:275-280). The <image> block
+# sits at the start of the user content, mirroring the reference's
+# "<image>\n{question}" template.
+_CHAT_PRE = "<|begin_of_text|><|start_header_id|>user<|end_header_id|>\n\n"
+_CHAT_POST = "<|eot_id|><|start_header_id|>assistant<|end_header_id|>\n\n"
+
+
+def _encode_segment(tokenizer, text: str) -> list[int]:
+    """Tokenize a fixed template segment without padding/BOS. Uses the
+    underlying HF tokenizer when available; the hermetic hash tokenizer
+    hashes the words (no special-token vocab — fine for tests/bench)."""
+    hf = getattr(tokenizer, "tok", None)
+    if hf is not None:
+        return list(hf.encode(text, add_special_tokens=False))
+    return [tokenizer._word_id(w) for w in text.split()]
+
+
 def build_prompt(tokenizer, tasks: list[str], cfg: MagmaConfig):
-    """[image tokens] + tokenized instruction -> (tokens, masks) int32/bool
-    [B, n_image_tokens + max_prompt_tokens]. Mirrors the reference's
-    "<image>\\nWhat action should the robot take to {task}?" template."""
-    texts = [f"What action should the robot take to {t}?" for t in tasks]
-    txt_tokens, txt_masks = tokenizer(texts, cfg.max_prompt_tokens)
+    """[chat pre] + [image tokens] + [instruction + chat post, padded] ->
+    (tokens, masks) int32/bool. Mirrors the reference's chat-templated
+    "<image>\\nWhat action should the robot take to {task}?" prompt
+    (policy_wrapper.py:275-280); ``use_chat_template=False`` drops the
+    instruct framing (tiny/hermetic runs)."""
     b = len(tasks)
-    img = np.full((b, cfg.n_image_tokens), cfg.image_token_id, np.int32)
-    tokens = np.concatenate([img, txt_tokens.astype(np.int32)], axis=1)
-    masks = np.concatenate([np.ones_like(img, bool), txt_masks.astype(bool)], axis=1)
+    if cfg.use_chat_template:
+        pre_ids = _encode_segment(tokenizer, _CHAT_PRE)  # includes BOS
+    else:
+        bos = getattr(tokenizer, "bos_id", None)
+        hf = getattr(tokenizer, "tok", None)
+        if bos is None and hf is not None:
+            bos = hf.bos_token_id
+        pre_ids = [bos] if bos is not None else []
+    post_texts = [
+        f"\nWhat action should the robot take to {t}?"
+        + (_CHAT_POST if cfg.use_chat_template else "")
+        for t in tasks
+    ]
+    post_ids = [_encode_segment(tokenizer, t) for t in post_texts]
+
+    n_pre, n_img = len(pre_ids), cfg.n_image_tokens
+    n_post = cfg.max_prompt_tokens
+    tokens = np.zeros((b, n_pre + n_img + n_post), np.int32)
+    masks = np.zeros_like(tokens, bool)
+    tokens[:, :n_pre] = pre_ids
+    masks[:, :n_pre] = True
+    tokens[:, n_pre:n_pre + n_img] = cfg.image_token_id
+    masks[:, n_pre:n_pre + n_img] = True
+    for i, ids in enumerate(post_ids):
+        ids = ids[:n_post]
+        tokens[i, n_pre + n_img:n_pre + n_img + len(ids)] = ids
+        masks[i, n_pre + n_img:n_pre + n_img + len(ids)] = True
     return tokens, masks
 
 
@@ -155,29 +198,6 @@ def timm_to_transformers(sd: dict, prefix: str) -> dict:
     return out
 
 
-def _projector_from_sd(sd: dict, prefix: str) -> cm.Params:
-    """multi_modal_projector: LLaVA-style {linear_1, linear_2} or
-    nn.Sequential-style {proj.0, proj.2}."""
-    def lin(name):
-        return {"kernel": np.asarray(sd[f"{prefix}.{name}.weight"]).T.copy(),
-                "bias": np.asarray(sd[f"{prefix}.{name}.bias"])}
-
-    names = [k[len(prefix) + 1:] for k in sd if k.startswith(prefix + ".")]
-    if any(n.startswith("linear_1.") for n in names):
-        proj = {"linear_1": lin("linear_1")}
-        if any(n.startswith("linear_2.") for n in names):
-            proj["linear_2"] = lin("linear_2")
-        return proj
-    if any(n.startswith("proj.0.") for n in names):
-        proj = {"linear_1": lin("proj.0")}
-        if any(n.startswith("proj.2.") for n in names):
-            proj["linear_2"] = lin("proj.2")
-        return proj
-    raise KeyError(
-        f"no projector weights under {prefix!r} (saw {sorted(names)[:4]}...)"
-    )
-
-
 def from_hf_state_dict(
     sd: dict,
     cfg: MagmaConfig,
@@ -188,44 +208,39 @@ def from_hf_state_dict(
 ) -> cm.Params:
     """Full Magma checkpoint -> param tree, every leaf shape-checked against
     ``jax.eval_shape(init)`` (GQA layout / transpose errors fail here, not at
-    serve time). Vision prefixes are probed across known layout variants."""
+    serve time). Vision prefixes are probed across known layout variants;
+    oversized (padding-aligned) vocab tables slice down to cfg.lm.vocab_size."""
+    from intact_tpu.models.hf_import import (
+        check_shapes,
+        mlp2_from_sd,
+        slice_vocab_rows,
+    )
+
     for cand in (vision_prefix, "vision_tower.trunk", "vision_tower"):
         if any(k.startswith(cand + ".stem") or k.startswith(cand + ".stages")
                for k in sd):
             vision_prefix = cand
             break
     vis_sd = timm_to_transformers(sd, vision_prefix)
+    lm = llama.from_hf_state_dict(sd, cfg.lm, prefix=lm_prefix,
+                                  head_key=lm_head_key)
+    lm["embed"]["embedding"] = slice_vocab_rows(
+        lm["embed"]["embedding"], cfg.lm.vocab_size, "magma embed_tokens")
+    if "lm_head" in lm:
+        lm["lm_head"]["kernel"] = slice_vocab_rows(
+            np.asarray(lm["lm_head"]["kernel"]).T, cfg.lm.vocab_size,
+            "magma lm_head").T.copy()
     params: cm.Params = {
         "vision": convnext.from_hf_state_dict(vis_sd, cfg.vision, prefix=""),
-        "projector": _projector_from_sd(sd, projector_prefix),
-        "lm": llama.from_hf_state_dict(sd, cfg.lm, prefix=lm_prefix,
-                                       head_key=lm_head_key),
+        "projector": mlp2_from_sd(sd, projector_prefix, "projector"),
+        "lm": lm,
     }
-    expected = jax.eval_shape(lambda: init(jax.random.key(0), cfg))
-    flat_got = dict(jax.tree_util.tree_flatten_with_path(params)[0])
-    for path, exp in jax.tree_util.tree_flatten_with_path(expected)[0]:
-        got = flat_got.get(path)
-        if got is None:
-            raise KeyError(f"missing imported weight at {jax.tree_util.keystr(path)}")
-        if tuple(got.shape) != tuple(exp.shape):
-            raise ValueError(
-                f"shape mismatch at {jax.tree_util.keystr(path)}: "
-                f"imported {tuple(got.shape)} != expected {tuple(exp.shape)}"
-            )
-    return params
+    return check_shapes(params, lambda: init(jax.random.key(0), cfg))
 
 
 def load_magma_checkpoint(path: str, cfg: MagmaConfig) -> cm.Params:
     """Load a Magma HF snapshot directory (sharded ``*.safetensors``) and
     convert — torch-free via safetensors.numpy."""
-    from pathlib import Path
+    from intact_tpu.models.hf_import import load_safetensors_dir
 
-    files = sorted(Path(path).glob("*.safetensors"))
-    if not files:
-        raise FileNotFoundError(f"no *.safetensors under {path}")
-    from safetensors.numpy import load_file
-
-    sd: dict = {}
-    for f in files:
-        sd.update(load_file(str(f)))
-    return from_hf_state_dict(sd, cfg)
+    return from_hf_state_dict(load_safetensors_dir(path), cfg)

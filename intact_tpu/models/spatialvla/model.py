@@ -139,24 +139,6 @@ def make_action_tokenizer(cfg: SpatialVLAConfig):
 # HF checkpoint -> params
 # ---------------------------------------------------------------------------
 
-def _ego3d_from_sd(sd: dict, prefix: str) -> cm.Params:
-    """position_embedding_3d MLP: {linear_1, linear_2} or sequential {0, 2}."""
-    def lin(name):
-        return {"kernel": np.asarray(sd[f"{prefix}.{name}.weight"]).T.copy(),
-                "bias": np.asarray(sd[f"{prefix}.{name}.bias"])}
-
-    names = [k[len(prefix) + 1:] for k in sd if k.startswith(prefix + ".")]
-    if any(n.startswith("linear_1.") for n in names):
-        return {"linear_1": lin("linear_1"), "linear_2": lin("linear_2")}
-    if any(n.startswith("proj.0.") for n in names):
-        return {"linear_1": lin("proj.0"), "linear_2": lin("proj.2")}
-    if any(n.startswith("0.") for n in names):
-        return {"linear_1": lin("0"), "linear_2": lin("2")}
-    raise KeyError(
-        f"no Ego3D MLP weights under {prefix!r} (saw {sorted(names)[:4]}...)"
-    )
-
-
 def from_hf_state_dict(
     sd: dict,
     cfg: SpatialVLAConfig,
@@ -165,12 +147,19 @@ def from_hf_state_dict(
     lm_prefix: str = "language_model.model",
     ego3d_prefix: str = "position_embedding_3d",
 ) -> cm.Params:
+    """HF SpatialVLA/PaliGemma2 layout -> param tree, leaf shapes checked
+    via jax.eval_shape. A ``model.``-nested checkpoint layout (detected off
+    the vision tower) nests ALL component prefixes consistently."""
+    from intact_tpu.models.hf_import import check_shapes, mlp2_from_sd
     from intact_tpu.models.pi0.convert import _siglip_from_sd
 
-    for cand in (vision_prefix, "model.vision_tower.vision_model",
-                 "vision_model"):
+    for nest in ("", "model."):
+        cand = nest + vision_prefix
         if any(k.startswith(cand + ".embeddings") for k in sd):
             vision_prefix = cand
+            projector_prefix = nest + projector_prefix
+            lm_prefix = nest + lm_prefix
+            ego3d_prefix = nest + ego3d_prefix
             break
     params: cm.Params = {
         "siglip": _siglip_from_sd(sd, cfg.vision, prefix=vision_prefix),
@@ -178,33 +167,14 @@ def from_hf_state_dict(
             "kernel": np.asarray(sd[projector_prefix + ".weight"]).T.copy(),
             "bias": np.asarray(sd[projector_prefix + ".bias"]),
         },
-        "ego3d": _ego3d_from_sd(sd, ego3d_prefix),
+        "ego3d": mlp2_from_sd(sd, ego3d_prefix, "Ego3D MLP"),
         "lm": gemma2.from_hf_state_dict(sd, cfg.lm, prefix=lm_prefix),
     }
-    expected = jax.eval_shape(lambda: init(jax.random.key(0), cfg))
-    flat_got = dict(jax.tree_util.tree_flatten_with_path(params)[0])
-    for path, exp in jax.tree_util.tree_flatten_with_path(expected)[0]:
-        got = flat_got.get(path)
-        if got is None:
-            raise KeyError(f"missing imported weight at {jax.tree_util.keystr(path)}")
-        if tuple(got.shape) != tuple(exp.shape):
-            raise ValueError(
-                f"shape mismatch at {jax.tree_util.keystr(path)}: "
-                f"imported {tuple(got.shape)} != expected {tuple(exp.shape)}"
-            )
-    return params
+    return check_shapes(params, lambda: init(jax.random.key(0), cfg))
 
 
 def load_spatialvla_checkpoint(path: str, cfg: SpatialVLAConfig) -> cm.Params:
     """Load an HF snapshot directory (sharded ``*.safetensors``), torch-free."""
-    from pathlib import Path
+    from intact_tpu.models.hf_import import load_safetensors_dir
 
-    files = sorted(Path(path).glob("*.safetensors"))
-    if not files:
-        raise FileNotFoundError(f"no *.safetensors under {path}")
-    from safetensors.numpy import load_file
-
-    sd: dict = {}
-    for f in files:
-        sd.update(load_file(str(f)))
-    return from_hf_state_dict(sd, cfg)
+    return from_hf_state_dict(load_safetensors_dir(path), cfg)

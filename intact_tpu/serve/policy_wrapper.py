@@ -401,16 +401,14 @@ class MagmaNativePolicyWrapper(BasePolicyWrapper):
 
         import jax
 
-        from intact_tpu.models.common import SERVING_POLICY
+        from intact_tpu.models.common import DEFAULT_POLICY, SERVING_POLICY
         from intact_tpu.models.magma import model as magma
         from intact_tpu.models.tokenizer import make_tokenizer
 
         self.model_cfg = model_cfg or config.make_model_config()
         cfg = self.model_cfg
         self._magma, self._jax = magma, jax
-        policy = SERVING_POLICY if config.use_bf16 else None
-        if policy is None:
-            from intact_tpu.models.common import DEFAULT_POLICY as policy
+        policy = SERVING_POLICY if config.use_bf16 else DEFAULT_POLICY
         self._policy = policy
         self.params = jax.jit(
             lambda k: jax.tree.map(
@@ -418,10 +416,13 @@ class MagmaNativePolicyWrapper(BasePolicyWrapper):
             )
         )(jax.random.key(config.seed))
         # Magma tokenizes with the LLaMA-3 tokenizer; explicit asset or the
-        # hermetic hash fallback (make_tokenizer warns loudly)
+        # hermetic hash fallback (make_tokenizer warns loudly). The hash
+        # fallback's vocab is bounded below image_token_id so text tokens
+        # can never collide with the image-placeholder id (which would
+        # silently corrupt the prompt splice).
         self.tokenizer = make_tokenizer(
             config.resolve_tokenizer_path(), cfg.max_prompt_tokens,
-            vocab_size=cfg.lm.vocab_size,
+            vocab_size=min(cfg.image_token_id, cfg.lm.vocab_size),
         )
         self._generate = jax.jit(
             functools.partial(magma.generate, cfg=cfg, policy=policy)

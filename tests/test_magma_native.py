@@ -30,7 +30,9 @@ def params(cfg):
 
 
 def _prompt(cfg, tasks=("pick up the carrot",)):
-    tok = HashTokenizer(vocab_size=cfg.lm.vocab_size, max_length=cfg.max_prompt_tokens)
+    # bounded below image_token_id so hash text ids can never collide with
+    # the placeholder (mirrors MagmaNativePolicyWrapper)
+    tok = HashTokenizer(vocab_size=cfg.image_token_id, max_length=cfg.max_prompt_tokens)
     return magma.build_prompt(tok, list(tasks), cfg)
 
 
@@ -50,23 +52,45 @@ class TestForward:
 
     def test_prompt_splice_positions(self, cfg, params):
         """Placeholder positions carry the projected vision tokens in order;
-        text positions carry the text embedding."""
+        non-placeholder positions carry the text embedding."""
         tokens, masks = _prompt(cfg)
         embeds, _ = magma.embed_prompt(
             params, jnp.asarray(_images(cfg, 1)), jnp.asarray(tokens),
             jnp.asarray(masks), cfg,
         )
         vis = magma.encode_images(params, jnp.asarray(_images(cfg, 1)), cfg)
-        n = cfg.n_image_tokens
+        is_img = tokens[0] == cfg.image_token_id
+        assert is_img.sum() == cfg.n_image_tokens
         np.testing.assert_allclose(
-            np.asarray(embeds[0, :n]), np.asarray(vis[0]), rtol=1e-6
+            np.asarray(embeds[0][is_img]), np.asarray(vis[0]), rtol=1e-6
         )
         from intact_tpu.models import common as cm
 
-        text = cm.embed_lookup(params["lm"]["embed"], jnp.asarray(tokens[:, n:]), DEFAULT_POLICY)
+        text = cm.embed_lookup(params["lm"]["embed"], jnp.asarray(tokens), DEFAULT_POLICY)
         np.testing.assert_allclose(
-            np.asarray(embeds[0, n:]), np.asarray(text[0]), rtol=1e-6
+            np.asarray(embeds[0][~is_img]), np.asarray(text[0][~is_img]), rtol=1e-6
         )
+
+    def test_chat_template_framing(self, cfg, params):
+        """use_chat_template wraps the instruction in the LLaMA-3-instruct
+        turn markers around the image block (reference serves through
+        apply_chat_template, policy_wrapper.py:275-280)."""
+        import dataclasses
+
+        cfg_t = dataclasses.replace(cfg, use_chat_template=True)
+        tok = HashTokenizer(vocab_size=cfg.image_token_id,
+                            max_length=cfg.max_prompt_tokens)
+        tokens, masks = magma.build_prompt(tok, ["pick up the carrot"], cfg_t)
+        plain, _ = magma.build_prompt(tok, ["pick up the carrot"], cfg)
+        n_pre = len(magma._encode_segment(tok, magma._CHAT_PRE))
+        assert n_pre > 0
+        # pre segment, then the image block, then the templated suffix
+        assert (tokens[0, n_pre:n_pre + cfg.n_image_tokens]
+                == cfg.image_token_id).all()
+        assert tokens.shape[1] == n_pre + cfg.n_image_tokens + cfg.max_prompt_tokens
+        assert not np.array_equal(tokens[0, -4:], plain[0, -4:])
+        ids = magma.generate(params, _images(cfg_t, 1), tokens, masks, cfg_t)
+        assert ids.shape == (1, cfg.n_action_tokens + 1)
 
     def test_image_sensitivity(self, cfg, params):
         """Different images must be able to change the decoded tokens' logits
@@ -197,6 +221,26 @@ class TestImport:
         save_file({k: sd[k] for k in keys[half:]},
                   str(tmp_path / "model-00002-of-00002.safetensors"))
         imported = magma.load_magma_checkpoint(str(tmp_path), cfg)
+        tokens, masks = _prompt(cfg)
+        img = _images(cfg, 1)
+        np.testing.assert_array_equal(
+            np.asarray(magma.generate(params, img, tokens, masks, cfg)),
+            np.asarray(magma.generate(imported, img, tokens, masks, cfg)),
+        )
+
+    def test_padded_vocab_rows_sliced(self, cfg, params):
+        """Checkpoints with alignment-padded embed/lm_head tables import by
+        slicing down to the configured vocab (real Magma-8B pads past the
+        logical vocab)."""
+        sd = _fake_magma_sd(params, cfg)
+        pad = 16
+        emb = sd["language_model.model.embed_tokens.weight"]
+        sd["language_model.model.embed_tokens.weight"] = np.concatenate(
+            [emb, np.zeros((pad, emb.shape[1]), emb.dtype)])
+        head = sd["language_model.lm_head.weight"]
+        sd["language_model.lm_head.weight"] = np.concatenate(
+            [head, np.zeros((pad, head.shape[1]), head.dtype)])
+        imported = magma.from_hf_state_dict(sd, cfg)
         tokens, masks = _prompt(cfg)
         img = _images(cfg, 1)
         np.testing.assert_array_equal(

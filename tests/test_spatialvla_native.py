@@ -212,6 +212,18 @@ class TestImport:
             np.asarray(svla.predict_action_tokens(imported, images, depth, lang, mask, cfg)),
         )
 
+    def test_model_nested_layout(self, cfg, params):
+        """A checkpoint serialized with every component under a `model.`
+        prefix imports identically (the nesting is applied to ALL component
+        prefixes, not just the probed vision tower)."""
+        sd = {f"model.{k}": v for k, v in _fake_spatialvla_sd(params, cfg).items()}
+        imported = svla.from_hf_state_dict(sd, cfg)
+        images, depth, lang, mask = _inputs(cfg)
+        np.testing.assert_array_equal(
+            np.asarray(svla.predict_action_tokens(params, images, depth, lang, mask, cfg)),
+            np.asarray(svla.predict_action_tokens(imported, images, depth, lang, mask, cfg)),
+        )
+
     def test_shape_mismatch_is_loud(self, cfg, params):
         sd = _fake_spatialvla_sd(params, cfg)
         sd["multi_modal_projector.linear.weight"] = np.zeros((3, 5), np.float32)
