@@ -268,6 +268,10 @@ class Trainer:
         from intact_tpu.config.core import to_dict
         from intact_tpu.utils import wandb_gate
 
+        if cfg.wandb is None:  # --wandb null: same as use_wandb=false
+            from intact_tpu.config.pipeline import WandBConfig
+
+            cfg.wandb = WandBConfig()
         self.wandb = wandb_gate.init(
             cfg.use_wandb and self.main_rank, cfg.wandb.project,
             name=cfg.name, entity=cfg.wandb.entity, run_id=cfg.wandb.run_id,
