@@ -136,6 +136,24 @@ class TestWebsocketTransport:
         assert client.switch_model("/ckpt/step_100") == {"status": "model switched"}
         assert policy.model_path == "/ckpt/step_100"
 
+    def test_server_error_ships_traceback_and_survives(self, server_client):
+        """An inference exception reaches the client as a RuntimeError
+        carrying the server traceback (string frame + INTERNAL_ERROR close,
+        reference websocket_policy_server.py:82-91), and the server still
+        accepts NEW connections afterward."""
+        from intact_tpu.protocol.websocket_policy_client import (
+            WebsocketPolicyClient,
+        )
+
+        policy, client = server_client
+        host, port = client.host, client.port
+        with pytest.raises(RuntimeError, match="KeyError"):
+            client.infer({"wrong_key": np.zeros(3, np.float32)})  # no "state"
+
+        fresh = WebsocketPolicyClient(host, port, retry_interval_s=0.1)
+        action = fresh.infer({"state": np.arange(3, dtype=np.float32)})
+        np.testing.assert_allclose(action, [0, 2, 4])
+
 
 class TestImageTools:
     def test_convert_to_uint8(self):
