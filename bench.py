@@ -112,7 +112,7 @@ def bench_train(args) -> int:
     print(f"# init {time.time()-t0:.1f}s", file=sys.stderr)
 
     ks = jax.random.split(jax.random.key(1), 4)
-    s = cfg.vision.image_size
+    s = cfg.vision.image_size if hasattr(cfg, "vision") else cfg.image_size
     batch = {
         "images": jax.random.uniform(ks[0], (b, cfg.num_cameras, s, s, 3),
                                      minval=-1, maxval=1, dtype=jnp.float32),
@@ -168,9 +168,10 @@ def main() -> int:
                     help="W8A8 dynamic-quant serving (block matmuls on the int8 MXU)")
     ap.add_argument("--mode", choices=["serve", "train"], default="serve",
                     help="train: expert-only fine-tune step throughput")
-    ap.add_argument("--model", choices=["pi0", "pi0fast", "mvla"], default="pi0",
-                    help="serve-mode model family (all share the "
-                         "sample_actions signature)")
+    ap.add_argument("--model", choices=["pi0", "pi0fast", "mvla", "octo"],
+                    default="pi0",
+                    help="model family (all share the sample_actions / "
+                         "compute_loss signatures)")
     args = ap.parse_args()
     if args.batch is None:
         # train default 48: with the frozen-prefix fast path (no VLM
@@ -227,7 +228,10 @@ def main() -> int:
     jax.block_until_ready(params)
     print(f"# init {time.time()-t0:.1f}s", file=sys.stderr)
 
-    b, s = args.batch, cfg.vision.image_size
+    # octo keeps image_size on the config root (history frames play the
+    # num_cameras role); the paligemma families nest it under .vision
+    b = args.batch
+    s = cfg.vision.image_size if hasattr(cfg, "vision") else cfg.image_size
     ks = jax.random.split(jax.random.key(1), 3)
     images = jax.random.uniform(ks[0], (b, cfg.num_cameras, s, s, 3), minval=-1, maxval=1)
     img_masks = jnp.ones((b, cfg.num_cameras), bool)
