@@ -133,15 +133,22 @@ def forward(
     positions: jnp.ndarray,  # int [B, T]
     cfg: Gemma2Config,
     policy: DtypePolicy = DEFAULT_POLICY,
+    use_sliding: bool = True,
 ):
     """-> (final-normed hidden [B, T, D], kv cache [L, B, T, KVH, hd] x2).
 
     Layer parity (even = sliding window, odd = global) is scanned with a
     per-layer flag so the whole depth stays one scan body.
+
+    ``use_sliding=False`` disables the window on every layer — the
+    PaliGemma2 prefix-LM convention: HF applies NO sliding restriction
+    inside the bidirectional image+prompt prefix (pinned token-for-token in
+    tests/test_hf_parity_paligemma2.py); generated tokens still get the
+    causal window (greedy_decode's step path).
     """
     scale = cfg.query_pre_attn_scalar**-0.5
     sliding = _sliding_mask(positions, positions, cfg.sliding_window)
-    is_sliding = jnp.arange(cfg.depth) % 2 == 0  # HF: layer 0 is sliding
+    is_sliding = (jnp.arange(cfg.depth) % 2 == 0) & use_sliding  # HF: layer 0 slides
 
     def body(x, inputs):
         bp, use_sliding = inputs
@@ -212,7 +219,8 @@ def greedy_decode(
     else:
         causal = jnp.tril(jnp.ones((p_len, p_len), bool))[None]
     mask = causal & prompt_mask[:, None, :]
-    hidden, kv = forward(params, prompt_embeds, mask, positions, cfg, policy)
+    hidden, kv = forward(params, prompt_embeds, mask, positions, cfg, policy,
+                         use_sliding=not prefix_full_attention)
 
     def pad_cache(c):  # [L, B, P, KVH, hd] -> [L, B, total, KVH, hd]
         return jnp.pad(c, ((0, 0), (0, 0), (0, max_new_tokens), (0, 0), (0, 0)))

@@ -161,6 +161,17 @@ def from_hf_state_dict(
             lm_prefix = nest + lm_prefix
             ego3d_prefix = nest + ego3d_prefix
             break
+    # transformers >= 4.49 dropped the LM's inner ".model" nesting
+    # (language_model.model.layers -> language_model.layers); probe both
+    if lm_prefix + ".embed_tokens.weight" not in sd:
+        alt = lm_prefix.removesuffix(".model")
+        if alt + ".embed_tokens.weight" in sd:
+            lm_prefix = alt
+    # ego3d may live beside the backbone rather than under model.
+    if not any(k.startswith(ego3d_prefix + ".") for k in sd):
+        alt = ego3d_prefix.removeprefix("model.")
+        if any(k.startswith(alt + ".") for k in sd):
+            ego3d_prefix = alt
     params: cm.Params = {
         "siglip": _siglip_from_sd(sd, cfg.vision, prefix=vision_prefix),
         "img_proj": {
