@@ -64,6 +64,13 @@ class TrainDataConfig:
     max_action_future: int = 50
     subsample_length: int = 100  # post-chunk frames kept per traj (train)
     image_dropout_prob: float = 0.0  # whole-camera dropout (non-primary)
+    # tf.data service dispatcher ("grpc://host:port"). When set, the
+    # pipeline is REGISTERED with the service and every host consumes from
+    # one shared job — the service shards work across its workers and
+    # across consumers, so the in-graph per-host ds.shard is skipped. This
+    # is the host-RAM escape hatch for big shuffle buffers on TPU pods
+    # (SURVEY §7 "tf.data on TPU VMs").
+    service_address: str | None = None
 
 
 @dataclasses.dataclass

@@ -476,6 +476,13 @@ class RLDSInterleavedBackend:
             load_proprio=section.load_proprio,
         )
         train = split == "train"
+        # tf.data service: the SERVICE shards elements across its workers
+        # and consumers, so the in-graph per-host shard must be disabled
+        # (both together would drop data quadratically)
+        self._service_address = getattr(section, "service_address", None)
+        self._split = split
+        if self._service_address:
+            shard_index, num_shards = 0, 1
         self._ds, self.num_transitions, self.statistics = make_interleaved_dataset(
             kwargs_list, weights,
             train=train,
@@ -497,5 +504,18 @@ class RLDSInterleavedBackend:
 
     def batches(self, batch_size: int):
         ds = self._ds.batch(batch_size, drop_remainder=True)
+        if self._service_address:
+            import tensorflow as tf
+
+            # one shared job per split: every host registers the same
+            # pipeline and consumes disjoint batches from it; workers run
+            # the pipeline (incl. the shuffle buffer) off the TPU hosts
+            ds = ds.apply(
+                tf.data.experimental.service.distribute(
+                    processing_mode=tf.data.experimental.service.ShardingPolicy.OFF,
+                    service=self._service_address,
+                    job_name=f"intact_tpu_{self._split}",
+                )
+            )
         for batch in ds.as_numpy_iterator():
             yield batch

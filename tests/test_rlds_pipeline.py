@@ -110,6 +110,42 @@ class TestInterleavedPipeline:
         # actions normalized: non-gripper dims roughly standard scale
         assert abs(float(batch["action"][..., :6].mean())) < 3.0
 
+    def test_tf_data_service_distribute(self, npz_dir, tmp_path, monkeypatch):
+        """data.train.service_address routes the batched pipeline through a
+        tf.data service (in-process dispatcher + worker here): batches flow
+        with identical structure, and the shared-job path the multi-host
+        recipe relies on registers cleanly."""
+        monkeypatch.setenv("INTACT_STATS_CACHE", str(tmp_path / "cache"))
+        from intact_tpu.data.rlds import (
+            RLDSInterleavedBackend,
+            make_interleaved_dataset,
+        )
+
+        dispatcher = tf.data.experimental.service.DispatchServer()
+        worker = tf.data.experimental.service.WorkerServer(  # noqa: F841
+            tf.data.experimental.service.WorkerConfig(
+                dispatcher_address=dispatcher.target.split("://")[1]
+            )
+        )
+
+        kwargs = [{
+            "name": "bridge_dataset",
+            "data_dir": str(npz_dir),
+            "standardize_fn": None,
+            "action_normalization_mask": [True] * 6 + [False],
+        }]
+        ds, _, _ = make_interleaved_dataset(
+            kwargs, None, train=True, shuffle_buffer_size=50,
+            window_size=1, action_horizon=4, resize_size=(32, 32), seed=0,
+        )
+        backend = RLDSInterleavedBackend.__new__(RLDSInterleavedBackend)
+        backend._service_address = dispatcher.target
+        backend._split = "train"
+        backend._ds = ds
+        batch = next(iter(backend.batches(4)))
+        assert batch["observation"]["image_primary"].shape == (4, 1, 32, 32, 3)
+        assert batch["action"].shape == (4, 1, 4, 7)
+
     def test_per_host_sharding_disjoint(self, npz_dir, tmp_path, monkeypatch):
         monkeypatch.setenv("INTACT_STATS_CACHE", str(tmp_path / "cache"))
         from intact_tpu.data.rlds import make_dataset_from_rlds
