@@ -149,6 +149,12 @@ def make_dataset_from_rlds(
             ds = ds.shard(num_shards, shard_index)
         if standardize_fn is not None:
             ds = ds.map(standardize_fn, num_parallel_calls=num_parallel_calls)
+
+        def stats_source():
+            full = _episodes_from_tfds(name, data_dir, "train", num_parallel_reads)
+            if standardize_fn is not None:
+                return full.map(standardize_fn, num_parallel_calls=num_parallel_calls)
+            return full
     else:
         files_ds, load = _episodes_from_npz_dir(src)
         n = int(files_ds.cardinality())
@@ -159,9 +165,17 @@ def make_dataset_from_rlds(
         ds = files_ds.map(load, num_parallel_calls=num_parallel_calls)
         # npz episodes are pre-standardized by the conversion tooling
 
+        def stats_source():
+            full_files, full_load = _episodes_from_npz_dir(src)
+            return full_files.map(full_load, num_parallel_calls=num_parallel_calls)
+
     # statistics: explicit dict/path, else compute+cache from the data.
-    # Computed BEFORE the unlabeled/max-action filters so datasets whose
-    # language is deliberately blank (kuka, toto, ... — see the OXE registry
+    # Computed over the FULL dataset — never the per-host shard or the
+    # train/val slice — so every host and both splits normalize with
+    # IDENTICAL constants (the reference computes over the builder's whole
+    # train split the same way, rlds_dataset.py:411-438). Also computed
+    # BEFORE the unlabeled/max-action filters so datasets whose language is
+    # deliberately blank (kuka, toto, ... — see the OXE registry
     # has_language flags) still yield statistics.
     if isinstance(dataset_statistics, (str, Path)):
         statistics = stats_lib.load_statistics(dataset_statistics)
@@ -169,11 +183,11 @@ def make_dataset_from_rlds(
         statistics = dataset_statistics
     else:
         def traj_iter():
-            for t in ds.as_numpy_iterator():
+            for t in stats_source().as_numpy_iterator():
                 yield {"action": t["action"], "proprio": t["observation"]["proprio"]}
 
         statistics = stats_lib.get_dataset_statistics(
-            traj_iter, [name, str(data_dir), "train" if train else "val"]
+            traj_iter, [name, str(data_dir), "full"]
         )
 
     if skip_unlabeled:
@@ -272,12 +286,20 @@ def apply_trajectory_transforms(
         num_parallel_calls=num_parallel_calls,
     )
     if train and subsample_length is not None:
-        def subsample(traj):
+        def subsample(i, traj):
+            # stateless, keyed on (seed, trajectory index) like every other
+            # random op in the pipeline — keeps the documented bitwise
+            # reproducibility (a bare tf.random.shuffle draws from the
+            # global stateful RNG and differs per run/host)
             length = tf.shape(traj["action"])[0]
-            idx = tf.random.shuffle(tf.range(length))[:subsample_length]
+            key = tf.stack([tf.cast(seed + 7919, tf.int32),
+                            tf.cast(i % (1 << 31), tf.int32)])
+            idx = tf.random.experimental.stateless_shuffle(
+                tf.range(length), seed=key
+            )[:subsample_length]
             return tf.nest.map_structure(lambda x: tf.gather(x, idx), traj)
 
-        ds = ds.map(subsample, num_parallel_calls=num_parallel_calls)
+        ds = ds.enumerate().map(subsample, num_parallel_calls=num_parallel_calls)
     return ds
 
 
@@ -323,6 +345,14 @@ def apply_frame_transforms(
                 )
                 img = image_dropout_tf(img, seed, image_dropout_prob)
             obs[key] = img
+        # goal images from goal relabeling (task/goal_image_*) get the same
+        # decode/resize (no augment/dropout: goals are conditioning, and
+        # the reference's frame transforms decode task images identically,
+        # obs_transforms.py:107-172)
+        task = frame.get("task")
+        if isinstance(task, dict):
+            for key in sorted(k for k in task if k.startswith("goal_image")):
+                task[key] = decode_and_resize_tf(task[key], resize_size)
         return frame
 
     return ds.enumerate().map(
@@ -361,10 +391,19 @@ def make_interleaved_dataset(
     datasets, sizes, all_stats = [], [], {}
     for kwargs in dataset_kwargs_list:
         kw = dict(kwargs)
-        kw.pop("load_proprio", None)
+        load_proprio = kw.pop("load_proprio", True)
         ds, statistics = make_dataset_from_rlds(
             train=train, shard_index=shard_index, num_shards=num_shards, **kw
         )
+        if not load_proprio:
+            # honor the opt-out: drop proprio from the canonical layout so
+            # models never see it (reference oxe/__init__.py gates the
+            # proprio key the same way)
+            def _drop_proprio(traj):
+                obs = {k: v for k, v in traj["observation"].items() if k != "proprio"}
+                return {**traj, "observation": obs}
+
+            ds = ds.map(_drop_proprio, num_parallel_calls=AUTOTUNE)
         all_stats[kwargs["name"]] = statistics
         sizes.append(statistics["num_transitions"])
         ds = apply_trajectory_transforms(

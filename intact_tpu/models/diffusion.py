@@ -68,8 +68,14 @@ def training_loss(schedule: DiffusionSchedule, eps_fn, key, x0, cond=None):
     return losses.mean(), {"mse": losses.mean(), "losses": losses}
 
 
-def ddpm_sample(schedule: DiffusionSchedule, eps_fn, key, shape, cond=None):
-    """Ancestral sampling, full T steps, one lax.scan."""
+def ddpm_sample(schedule: DiffusionSchedule, eps_fn, key, shape, cond=None,
+                clip_value: float | None = None, init_noise=None):
+    """Ancestral sampling, full T steps, one lax.scan.
+
+    ``clip_value`` clips x to [-v, v] after EVERY denoising step (upstream
+    Octo's per-step clipping — clipping only the final sample follows a
+    different trajectory whenever intermediates saturate). ``init_noise``
+    fixes x_T for deterministic comparisons."""
     betas = jnp.asarray(schedule.betas, jnp.float32)
     alphas = 1.0 - betas
     acp = jnp.cumprod(alphas)
@@ -77,7 +83,8 @@ def ddpm_sample(schedule: DiffusionSchedule, eps_fn, key, shape, cond=None):
     post_var = betas * (1 - acp_prev) / (1 - acp)
 
     k_init, k_loop = jax.random.split(key)
-    x = jax.random.normal(k_init, shape, jnp.float32)
+    x = (jnp.asarray(init_noise, jnp.float32) if init_noise is not None
+         else jax.random.normal(k_init, shape, jnp.float32))
 
     def step(carry, t_int):
         x, k = carry
@@ -88,6 +95,8 @@ def ddpm_sample(schedule: DiffusionSchedule, eps_fn, key, shape, cond=None):
         mean = (x - coef * eps) / jnp.sqrt(alphas[t_int])
         noise = jax.random.normal(k_noise, shape, jnp.float32)
         x = mean + jnp.where(t_int > 0, jnp.sqrt(post_var[t_int]), 0.0) * noise
+        if clip_value is not None:
+            x = jnp.clip(x, -clip_value, clip_value)
         return (x, k), None
 
     ts = jnp.arange(schedule.num_timesteps - 1, -1, -1)
@@ -96,14 +105,16 @@ def ddpm_sample(schedule: DiffusionSchedule, eps_fn, key, shape, cond=None):
 
 
 def ddim_sample(schedule: DiffusionSchedule, eps_fn, key, shape, cond=None,
-                num_steps: int = 10, eta: float = 0.0):
+                num_steps: int = 10, eta: float = 0.0, init_noise=None):
     """DDIM with a strided timestep subset (the reference's SpacedDiffusion
-    respacing, `respace.py`)."""
+    respacing, `respace.py`). ``init_noise`` fixes x_T for deterministic
+    comparisons."""
     acp = schedule.alphas_cumprod
     stride = max(schedule.num_timesteps // num_steps, 1)
     ts = jnp.arange(schedule.num_timesteps - 1, -1, -stride)
 
-    x = jax.random.normal(key, shape, jnp.float32)
+    x = (jnp.asarray(init_noise, jnp.float32) if init_noise is not None
+         else jax.random.normal(key, shape, jnp.float32))
 
     def step(x, idx):
         t_int = ts[idx]

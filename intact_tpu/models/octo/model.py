@@ -230,9 +230,9 @@ def sample_actions(params, key, images, img_masks, lang_tokens, lang_masks, stat
     if cfg.sample_steps >= cfg.diffusion_steps:
         return diff.ddpm_sample(
             schedule, lambda x, t, c: _eps_fn(params, cfg, policy, x, t, c),
-            key, shape, cond,
+            key, shape, cond, init_noise=noise,
         )
     return diff.ddim_sample(
         schedule, lambda x, t, c: _eps_fn(params, cfg, policy, x, t, c),
-        key, shape, cond, num_steps=cfg.sample_steps,
+        key, shape, cond, num_steps=cfg.sample_steps, init_noise=noise,
     )

@@ -276,8 +276,11 @@ def _eps_fn(params, cfg: OctoUpstreamConfig, x_t, time, cond):
     """x_t [B, horizon*action_dim] flattened, time float [B], cond [B, width]."""
     head = params["head"]
     fp32 = DtypePolicy(param_dtype=jnp.float32, compute_dtype=jnp.float32)
-    # learnable fourier features over normalized time
-    t_in = time.astype(jnp.float32)[:, None] / cfg.diffusion_steps
+    # learnable fourier features over the RAW integer timestep — upstream
+    # Octo's FourierFeatures consumes unnormalized t in [0, diffusion_steps)
+    # (its kernel was trained at that scale; normalizing here would shrink
+    # the learned frequencies ~20x for imported weights)
+    t_in = time.astype(jnp.float32)[:, None]
     f = 2.0 * jnp.pi * t_in @ head["fourier"]["kernel"].astype(jnp.float32)
     t_ff = jnp.concatenate([jnp.cos(f), jnp.sin(f)], axis=-1)  # [B, time_dim]
     c = jax.nn.swish(cm.dense(head["cond_mlp"]["fc1"], t_ff, fp32))
@@ -301,19 +304,21 @@ def _eps_fn(params, cfg: OctoUpstreamConfig, x_t, time, cond):
 def sample_actions(params, key, images, img_masks, lang_tokens, lang_masks, state,
                    cfg: OctoUpstreamConfig, policy: DtypePolicy = DEFAULT_POLICY,
                    noise=None):
-    """DDPM sampling with per-step clipping (upstream behavior)."""
+    """DDPM sampling with PER-STEP clipping to [-max_action, max_action]
+    (upstream Octo clips current_x after every denoising step).
+    ``noise`` fixes x_T for deterministic parity comparisons."""
     from intact_tpu.models import diffusion as diff
 
     readouts = encode(params, images, img_masks, lang_tokens, lang_masks, cfg, policy)
     cond = readouts[:, -1]
     schedule = diff.make_schedule(cfg.diffusion_steps)
     shape = (images.shape[0], cfg.horizon, cfg.action_dim)
-    out = diff.ddpm_sample(
+    return diff.ddpm_sample(
         schedule,
         lambda x, t, c: _eps_fn(params, cfg, x, t, c),
         key, shape, cond,
+        clip_value=cfg.max_action, init_noise=noise,
     )
-    return jnp.clip(out, -cfg.max_action, cfg.max_action)
 
 
 def compute_loss(params, key, batch, cfg: OctoUpstreamConfig,

@@ -143,10 +143,18 @@ class BatchingPolicyServer:
                 results = await loop.run_in_executor(
                     self._device_executor, self._infer_batch, batch
                 )
+                # per-request outcomes: one client's bad input or failing
+                # postprocess must not kill its co-batched neighbors'
+                # episodes (the reference's per-request server only loses
+                # the offending connection)
                 for req, res in zip(batch, results):
-                    if not req.future.done():
+                    if req.future.done():
+                        continue
+                    if isinstance(res, Exception):
+                        req.future.set_exception(res)
+                    else:
                         req.future.set_result(res)
-            except Exception as e:  # propagate to every waiting connection
+            except Exception as e:  # device-call failure: affects the batch
                 for req in batch:
                     if not req.future.done():
                         req.future.set_exception(e)
@@ -168,27 +176,49 @@ class BatchingPolicyServer:
             self._policy.sample_action_chunk(fused)
             self.logger.info("prewarmed bucket %d", b)
 
-    def _infer_batch(self, batch: list[_Request]) -> list[np.ndarray]:
-        n = len(batch)
-        pad = self._bucket_size(n) - n
-        imgs = np.concatenate([r.inputs["image"] for r in batch])
-        states = np.concatenate([r.inputs["state"] for r in batch])
-        if pad:  # replicate the last row up to the bucket boundary
-            imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad, axis=0)])
-            states = np.concatenate([states, np.repeat(states[-1:], pad, axis=0)])
-        fused = {
-            "image": imgs,
-            "state": states,
-            "task": [r.inputs["task"][0] for r in batch]
-            + [batch[-1].inputs["task"][0]] * pad,
-        }
-        chunks = self._policy.sample_action_chunk(fused)  # [bucket, chunk, D_model]
-        out = []
-        action_step = self._config.eval_cfg.action_step
-        for i, req in enumerate(batch):
-            env_dim = len(req.adapter.dataset_statistics["action"]["mean"])
-            out.append(req.adapter.postprocess(chunks[i, :action_step, :env_dim]))
-        return out
+    def _infer_batch(self, batch: list[_Request]):
+        """-> one result OR Exception per request (same order). Mismatched
+        input shapes and per-request postprocess failures are isolated to
+        their request; only a device-call failure (raised) hits the batch."""
+        ref_img = batch[0].inputs["image"].shape[1:]
+        ref_state = batch[0].inputs["state"].shape[1:]
+        outcome: dict[int, object] = {}
+        good: list[_Request] = []
+        for r in batch:
+            if (r.inputs["image"].shape[1:] != ref_img
+                    or r.inputs["state"].shape[1:] != ref_state):
+                outcome[id(r)] = ValueError(
+                    f"request shapes {r.inputs['image'].shape[1:]}/"
+                    f"{r.inputs['state'].shape[1:]} do not match the fused "
+                    f"batch ({ref_img}/{ref_state})"
+                )
+            else:
+                good.append(r)
+        if good:
+            n = len(good)
+            pad = self._bucket_size(n) - n
+            imgs = np.concatenate([r.inputs["image"] for r in good])
+            states = np.concatenate([r.inputs["state"] for r in good])
+            if pad:  # replicate the last row up to the bucket boundary
+                imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad, axis=0)])
+                states = np.concatenate([states, np.repeat(states[-1:], pad, axis=0)])
+            fused = {
+                "image": imgs,
+                "state": states,
+                "task": [r.inputs["task"][0] for r in good]
+                + [good[-1].inputs["task"][0]] * pad,
+            }
+            chunks = self._policy.sample_action_chunk(fused)  # [bucket, chunk, D]
+            action_step = self._config.eval_cfg.action_step
+            for i, req in enumerate(good):
+                try:
+                    env_dim = len(req.adapter.dataset_statistics["action"]["mean"])
+                    outcome[id(req)] = req.adapter.postprocess(
+                        chunks[i, :action_step, :env_dim]
+                    )
+                except Exception as e:
+                    outcome[id(req)] = e
+        return [outcome[id(r)] for r in batch]
 
     # ------------------------------------------------------------------
 

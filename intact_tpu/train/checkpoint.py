@@ -24,15 +24,25 @@ def step_dir(ckpt_root: str | Path, step: int) -> Path:
     return Path(ckpt_root) / f"step_{step}"
 
 
-def list_steps(ckpt_root: str | Path) -> list[int]:
+def list_steps(ckpt_root: str | Path, committed_only: bool = False) -> list[int]:
+    """step numbers under the root. ``committed_only`` keeps only fully
+    committed saves: auxiliary_data.json is written LAST in save_checkpoint,
+    so its presence is the commit marker — a crash mid-save leaves a partial
+    step dir that resume must skip, not crash on."""
     root = Path(ckpt_root)
     if not root.exists():
         return []
-    return sorted(
-        int(p.name.split("_", 1)[1])
-        for p in root.iterdir()
-        if p.is_dir() and p.name.startswith("step_")
-    )
+    out = []
+    for p in root.iterdir():
+        if not (p.is_dir() and p.name.startswith("step_")):
+            continue
+        tail = p.name.split("_", 1)[1]
+        if not tail.isdigit():
+            continue
+        if committed_only and not (p / "auxiliary_data.json").exists():
+            continue
+        out.append(int(tail))
+    return sorted(out)
 
 
 def save_checkpoint(
@@ -55,6 +65,9 @@ def save_checkpoint(
             ckptr.save(path / "opt_state", state.opt_state)
     auxiliary = {"cnt_update": step, "micro_step": int(state.step)}
     auxiliary.update(aux or {})
+    # written LAST: doubles as the commit marker (each Orbax item dir is
+    # internally atomic, but the step dir as a whole is not — restore skips
+    # step dirs without this file)
     (path / "auxiliary_data.json").write_text(json.dumps(auxiliary, indent=2))
     return path
 
@@ -100,7 +113,9 @@ def restore_train_state(
     load_from_checkpoint vs resume_run split."""
     path = Path(ckpt_path)
     if not (path / "params").exists():
-        steps = list_steps(path)
+        # resume wants the newest COMMITTED save; a crash mid-save leaves a
+        # partial step dir that must be skipped
+        steps = list_steps(path, committed_only=True) or list_steps(path)
         if not steps:
             raise FileNotFoundError(f"no checkpoint under {path}")
         path = step_dir(path, steps[-1])
@@ -118,6 +133,28 @@ def restore_train_state(
             {},
         )
 
+    if not (path / "opt_state").exists():
+        # params-only checkpoint (converted/imported weights): resume
+        # degrades to a fresh optimizer with a loud note, mirroring the
+        # reference's graceful fallback (trainer.py:699-721)
+        import logging
+
+        logging.getLogger("intact_tpu.checkpoint").warning(
+            "resume_run=True but %s has no opt_state (params-only "
+            "checkpoint); continuing with a fresh optimizer/schedule", path,
+        )
+        aux_file = path / "auxiliary_data.json"
+        aux = json.loads(aux_file.read_text()) if aux_file.exists() else {}
+        return (
+            TrainState(
+                params=params,
+                opt_state=template_state.opt_state,
+                step=template_state.step,
+                rng=template_state.rng,
+            ),
+            aux,
+        )
+
     def as_target(t, s):
         return jax.ShapeDtypeStruct(t.shape, t.dtype, sharding=s)
 
@@ -130,7 +167,8 @@ def restore_train_state(
     with ocp.StandardCheckpointer() as ckptr:
         opt_state = ckptr.restore(path / "opt_state", opt_target)
 
-    aux = json.loads((path / "auxiliary_data.json").read_text())
+    aux_file = path / "auxiliary_data.json"
+    aux = json.loads(aux_file.read_text()) if aux_file.exists() else {}
     import jax.numpy as jnp
 
     state = TrainState(

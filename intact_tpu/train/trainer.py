@@ -110,10 +110,11 @@ def preprocess_batch(batch: dict, tokenizer, model_cfg, train: bool = True) -> d
     ]
     lang_tokens, lang_masks = tokenizer(texts, model_cfg.tokenizer_max_length)
 
-    proprio = batch["observation"]["proprio"][:, -1]  # last history frame
     state = np.zeros((b, model_cfg.max_state_dim), np.float32)
-    sd = min(proprio.shape[-1], model_cfg.max_state_dim)
-    state[:, :sd] = proprio[:, :sd]
+    if "proprio" in batch["observation"]:  # absent when load_proprio=false
+        proprio = batch["observation"]["proprio"][:, -1]  # last history frame
+        sd = min(proprio.shape[-1], model_cfg.max_state_dim)
+        state[:, :sd] = proprio[:, :sd]
 
     out = {
         "images": images,

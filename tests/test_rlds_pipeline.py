@@ -110,6 +110,24 @@ class TestInterleavedPipeline:
         # actions normalized: non-gripper dims roughly standard scale
         assert abs(float(batch["action"][..., :6].mean())) < 3.0
 
+    def test_statistics_identical_across_splits_and_shards(self, npz_dir, tmp_path, monkeypatch):
+        """Normalization constants come from the FULL dataset: every host
+        shard and both train/val splits must see IDENTICAL statistics (else
+        multi-host training silently diverges)."""
+        monkeypatch.setenv("INTACT_STATS_CACHE", str(tmp_path / "cache"))
+        from intact_tpu.data.rlds import make_dataset_from_rlds
+
+        common = dict(name="bridge_dataset", data_dir=str(npz_dir),
+                      skip_unlabeled=False)
+        _, s_train = make_dataset_from_rlds(train=True, **common)
+        _, s_val = make_dataset_from_rlds(train=False, **common)
+        _, s_shard = make_dataset_from_rlds(
+            train=True, shard_index=1, num_shards=2, **common
+        )
+        np.testing.assert_array_equal(s_train["action"]["mean"], s_val["action"]["mean"])
+        np.testing.assert_array_equal(s_train["action"]["std"], s_shard["action"]["std"])
+        assert s_train["num_transitions"] == s_val["num_transitions"]
+
     def test_tf_data_service_distribute(self, npz_dir, tmp_path, monkeypatch):
         """data.train.service_address routes the batched pipeline through a
         tf.data service (in-process dispatcher + worker here): batches flow

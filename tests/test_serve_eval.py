@@ -183,6 +183,48 @@ class TestBatchBucketing:
         server.prewarm_buckets()
         assert policy.sizes == [1, 2, 4, 8]
 
+    def test_bad_request_isolated_from_cobatched_clients(self):
+        """One client's mismatched input shape (or failing postprocess)
+        yields an Exception for THAT request only — co-batched neighbors
+        still get their actions (reference per-request semantics)."""
+        from intact_tpu.serve.batching import _Request
+
+        server, _ = self._server(max_batch=8)
+        adapter = _IdentityAdapter()
+
+        def req(v, state_dim=7):
+            return _Request(
+                {
+                    "image": np.zeros((1, 28, 28, 3), np.float32),
+                    "state": np.full((1, state_dim), v, np.float32),
+                    "task": ["t"],
+                },
+                adapter,
+                None,
+            )
+
+        out = server._infer_batch([req(0.0), req(1.0, state_dim=9), req(2.0)])
+        assert isinstance(out[1], ValueError)
+        np.testing.assert_allclose(out[0], 0.0)
+        np.testing.assert_allclose(out[2], 2.0)
+
+        class _FailingAdapter(_IdentityAdapter):
+            def postprocess(self, actions):
+                raise RuntimeError("adapter broke")
+
+        bad = _Request(
+            {
+                "image": np.zeros((1, 28, 28, 3), np.float32),
+                "state": np.full((1, 7), 5.0, np.float32),
+                "task": ["t"],
+            },
+            _FailingAdapter(),
+            None,
+        )
+        out = server._infer_batch([req(0.0), bad])
+        assert isinstance(out[1], RuntimeError)
+        np.testing.assert_allclose(out[0], 0.0)
+
 
 @pytest.mark.slow
 class TestServeEvalEndToEnd:
