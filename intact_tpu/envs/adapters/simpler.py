@@ -184,19 +184,25 @@ class OctoBridgeSimplerAdapter(BridgeSimplerAdapter):
         try:
             import tensorflow as tf
 
+            # upstream Octo eval preprocessing exactly: antialiased lanczos3
+            # + round BEFORE the clip/uint8 cast (a truncating cast biases
+            # every pixel ~-0.5; reference simpler.py:318-327)
             image = tf.cast(
                 tf.clip_by_value(
-                    tf.image.resize(
-                        tf.cast(obs["observation.images.top"], tf.float32),
-                        self.image_size, method="lanczos3",
+                    tf.round(
+                        tf.image.resize(
+                            tf.cast(obs["observation.images.top"], tf.float32),
+                            self.image_size, method="lanczos3", antialias=True,
+                        )
                     ),
                     0, 255,
                 ),
                 tf.uint8,
             ).numpy()
         except ImportError:  # cv2 fallback, slightly different kernel
+            h, w = self.image_size  # cv2 dsize is (width, height)
             image = cv2.resize(
-                obs["observation.images.top"], self.image_size,
+                obs["observation.images.top"], (w, h),
                 interpolation=cv2.INTER_LANCZOS4,
             )
         image = image.astype(np.float32) / 255.0 * 2.0 - 1.0
@@ -227,6 +233,10 @@ class ActionEnsembler:
         n = len(self.history)
         # i-th oldest chunk contributes its (n-1-i)-th action
         preds = np.stack([self.history[i][n - 1 - i] for i in range(n)])
-        weights = np.exp(self.ensemble_temp * np.arange(n))
+        # reference: weights = exp(-temp * i) with i=0 the OLDEST chunk, so
+        # the default temp=-0.8 weights the NEWEST prediction most
+        # (simpler.py:514 "if temp > 0, more recent predictions get
+        # exponentially less weight")
+        weights = np.exp(-self.ensemble_temp * np.arange(n))
         weights /= weights.sum()
         return (weights[:, None] * preds).sum(axis=0)

@@ -62,6 +62,20 @@ class BaseEvaluator:
         self.main_logger.info("Connected to server at %s:%s", self.host, self.port)
         self.log_dir: Path | None = None
 
+        # gated wandb (reference base_evaluator.py:96-106; no-op unless
+        # use_wandb and the library is present)
+        from intact_tpu.utils import wandb_gate
+
+        wb = getattr(pipeline_cfg, "wandb", None)
+        self.wandb = wandb_gate.init(
+            bool(getattr(pipeline_cfg, "use_wandb", False)),
+            wb.project if wb is not None else "INT-ACT",
+            name=self.name,
+            entity=wb.entity if wb is not None else None,
+            run_id=wb.run_id if wb is not None else None,
+            config=None,
+        )
+
     # ------------------------------------------------------------------
 
     def evaluate(self):

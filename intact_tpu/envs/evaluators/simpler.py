@@ -129,9 +129,17 @@ class SimplerEvaluator(BaseEvaluator):
                 )
                 recording = self.n_video > cnt_episode and self.eval_cfg.recording
 
+        # SAPIEN envs hold renderer/GPU contexts: close explicitly so a
+        # multi-task, multi-checkpoint sweep doesn't accumulate them
+        if hasattr(env, "close"):
+            env.close()
+
         aggregated = {k: float(np.mean(v)) if v else 0.0 for k, v in metrics.items()}
         self._log_summary(task_logger, cnt_episode, time.time() - start, aggregated)
         self.results[task_name] = aggregated
+        self.wandb.log(
+            {f"eval/{task_name}/{k}": v for k, v in aggregated.items()}
+        )
         return aggregated
 
     # ------------------------------------------------------------------

@@ -31,6 +31,14 @@ MS2_TO_MS3_TASKS = {
 }
 
 
+def _to_numpy(x):
+    """MS3 with num_envs>1 runs GPU sim and returns CUDA torch tensors;
+    np.asarray on those raises — route through .cpu() first."""
+    if hasattr(x, "cpu"):
+        return np.asarray(x.cpu().numpy())
+    return np.asarray(x)
+
+
 def _default_env_factory(task_name: str, num_envs: int, seed: int):
     import gymnasium as gym
 
@@ -58,7 +66,7 @@ class SimplerMS3Evaluator(BaseEvaluator):
         )
 
         img = get_image_from_maniskill3_obs_dict(env, obs)
-        return np.asarray(img.cpu().numpy() if hasattr(img, "cpu") else img)
+        return _to_numpy(img)
 
     def evaluate(self):
         model_root = self.eval_cfg.pretrained_model_path
@@ -70,8 +78,22 @@ class SimplerMS3Evaluator(BaseEvaluator):
             self._initialize_model_client(model_path, gradient_step)
             for task_name in self.task_lists:
                 self.evaluate_task(task_name)
+            # buffered because the loop order is inverted vs the wandb step
+            # axis (reference :68-73,284-291): flush once per checkpoint
+            self._flush_wandb(gradient_step)
         self._video_pool.shutdown(wait=True)
         return self.results
+
+    def _flush_wandb(self, gradient_step):
+        if not self._wandb_buffer:
+            return
+        if getattr(self, "wandb", None) is not None:
+            self.wandb.log(
+                {f"eval/{task}/Success Rate": sr
+                 for task, sr in self._wandb_buffer.items()},
+                step=int(gradient_step) if gradient_step else 0,
+            )
+        self._wandb_buffer.clear()
 
     def evaluate_task(self, task_name: str):
         start = time.time()
@@ -91,15 +113,20 @@ class SimplerMS3Evaluator(BaseEvaluator):
                 options={"episode_id": np.asarray(seeds), "reconfigure": True},
             )
             instruction = env.unwrapped.get_language_instruction()
-            frames = [self.image_getter(env, obs)]
+            # frames are only accumulated when this batch episode will be
+            # written (with recording off, holding every 512px frame for N
+            # parallel envs costs GBs of host RAM for nothing)
+            record = self.eval_cfg.recording and cnt_episode < self.n_video
+            latest = self.image_getter(env, obs)
+            frames = [latest] if record else []
             action_plan: collections.deque = collections.deque()
             truncated = False
 
             while not truncated:
                 if not action_plan:
                     element = {
-                        "observation.images.top": frames[-1],
-                        "observation.state": np.asarray(obs["agent"]["eef_pos"]),
+                        "observation.images.top": latest,
+                        "observation.state": _to_numpy(obs["agent"]["eef_pos"]),
                         "task": instruction,
                     }
                     chunk = np.asarray(self.client.infer(element))
@@ -108,27 +135,31 @@ class SimplerMS3Evaluator(BaseEvaluator):
 
                 action = action_plan.popleft()
                 obs, reward, terminated, truncated_arr, info = env.step(action)
-                truncated = bool(np.asarray(truncated_arr).any())
-                frames.append(self.image_getter(env, obs))
+                truncated = bool(_to_numpy(truncated_arr).any())
+                latest = self.image_getter(env, obs)
+                if record:
+                    frames.append(latest)
 
             stats = info.get("episode_stats", {})
-            success = np.asarray(info.get("success", np.zeros(self.n_parallel_eval, bool)))
+            success = _to_numpy(info.get("success", np.zeros(self.n_parallel_eval, bool)))
             for i in range(self.n_parallel_eval):
-                metrics["Success Rate"].append(bool(np.asarray(success).reshape(-1)[i]))
+                metrics["Success Rate"].append(bool(success.reshape(-1)[i]))
                 for name, key in METRIC_KEYS.items():
                     if name == "Success Rate":
                         continue
-                    val = stats.get(key, 0)
-                    val = np.asarray(val).reshape(-1)
+                    val = _to_numpy(stats.get(key, 0)).reshape(-1)
                     metrics[name].append(float(val[i]) if val.size > 1 else float(val))
 
-            if self.eval_cfg.recording and cnt_episode < self.n_video:
+            if record and frames:
                 self._video_pool.submit(
                     self._write_videos, list(frames), video_dir, cnt_episode, success
                 )
 
             self.client.reset()
             cnt_episode += self.n_parallel_eval
+
+        if hasattr(env, "close"):  # release the vectorized sim's GPU state
+            env.close()
 
         aggregated = {k: float(np.mean(v)) if v else 0.0 for k, v in metrics.items()}
         self._log_summary(logger, cnt_episode, time.time() - start, aggregated)

@@ -81,17 +81,25 @@ def euler2axangle(
 
 
 def quat2axangle(quat: np.ndarray) -> tuple[np.ndarray, float]:
-    """[w,x,y,z] quaternion -> (unit axis, angle in [0, 2*pi])."""
+    """[w,x,y,z] quaternion -> (unit axis, angle in [0, 2*pi]).
+
+    transforms3d convention (theta = 2*acos(w), axis = v/||v|| UNFLIPPED):
+    for w < 0 this yields angle > pi with the raw vector axis — the SAME
+    3-vector the transforms3d/robosuite reference produces. scipy's
+    as_rotvec would canonicalize to angle <= pi with a flipped axis, which
+    is the same rotation but a DIFFERENT axis-angle vector, putting proprio
+    out of distribution vs statistics computed with the reference
+    convention (LiberoAdapter feeds this into normalized proprio)."""
     q = np.asarray(quat, dtype=np.float64)
     n = np.linalg.norm(q)
     if n < _EPS:
         return np.array([1.0, 0.0, 0.0]), 0.0
     w, x, y, z = q / n
-    rotvec = Rotation.from_quat([x, y, z, w]).as_rotvec()
-    angle = float(np.linalg.norm(rotvec))
-    if angle < _EPS:
+    s = np.sqrt(max(1.0 - w * w, 0.0))  # |sin(theta/2)|
+    if s < _EPS:
         return np.array([1.0, 0.0, 0.0]), 0.0
-    return rotvec / angle, angle
+    angle = 2.0 * float(np.arccos(np.clip(w, -1.0, 1.0)))  # [0, 2*pi]
+    return np.array([x, y, z]) / s, angle
 
 
 def quat2axisangle(quat: np.ndarray) -> np.ndarray:

@@ -62,6 +62,21 @@ class TestConventions:
         q = np.array([np.cos(0.3), 0, 0, np.sin(0.3)])
         np.testing.assert_allclose(geo.quat2axisangle(q), [0, 0, 0.6], atol=1e-12)
 
+    def test_quat2axangle_negative_w_transforms3d_convention(self):
+        """w < 0 must give theta = 2*acos(w) > pi with the UNFLIPPED axis
+        (transforms3d/robosuite convention the Libero proprio statistics
+        were computed with) — not scipy's canonicalized (<= pi, flipped)."""
+        q = np.array([-np.sqrt(0.5), np.sqrt(0.5), 0, 0])  # w = -1/sqrt(2)
+        axis, angle = geo.quat2axangle(q)
+        np.testing.assert_allclose(angle, 1.5 * np.pi, atol=1e-12)
+        np.testing.assert_allclose(axis, [1, 0, 0], atol=1e-12)
+        # same rotation as scipy's canonical form, different 3-vector
+        np.testing.assert_allclose(
+            geo.quat2mat(q),
+            geo.quat2mat(np.array([np.sqrt(0.5), -np.sqrt(0.5), 0, 0])),
+            atol=1e-12,
+        )
+
     def test_isrotation(self):
         assert geo.isrotation(np.eye(3))
         assert not geo.isrotation(np.eye(3) * 2)

@@ -130,7 +130,8 @@ class TestBatchedAndLiberoEvaluators:
         task = results["widowx_carrot_on_plate"]
         assert task["Move Correct"] == 1.0
         assert task["Success Rate"] == 0.0
-        assert len(ev._wandb_buffer) == 1
+        # buffered per task, then FLUSHED once per checkpoint sweep
+        assert ev._wandb_buffer == {}
 
     def test_libero_loop(self, tmp_path, monkeypatch):
         monkeypatch.setenv("VLA_LOG_DIR", str(tmp_path))

@@ -108,6 +108,22 @@ class TestAdapters:
         a1 = ens.ensemble(chunk)  # old chunk contributes row 1, new row 0
         np.testing.assert_allclose(a1, [0.5, 0.5])
 
+    def test_action_ensembler_default_temp_weights_newest_most(self):
+        """Reference weighting: weights = exp(-temp * i), i=0 oldest — the
+        default temp=-0.8 must weight the NEWEST chunk's prediction most
+        (simpler.py:514). Pin the sign with distinguishable chunks."""
+        from intact_tpu.envs.adapters.simpler import ActionEnsembler
+
+        ens = ActionEnsembler(pred_horizon=2, ensemble_temp=-0.8)
+        old = np.full((2, 1), 10.0)   # old chunk predicts 10 everywhere
+        new = np.full((2, 1), 0.0)    # new chunk predicts 0
+        ens.ensemble(old)
+        a = float(ens.ensemble(new)[0])
+        # weights: oldest exp(0)=1, newest exp(0.8)=2.23 -> newest dominates
+        w_new = np.exp(0.8) / (1.0 + np.exp(0.8))
+        np.testing.assert_allclose(a, 10.0 * (1 - w_new), rtol=1e-6)
+        assert a < 5.0  # newest-weighted, NOT oldest-weighted
+
 
 class _RecordingPolicy:
     """sample_action_chunk stub: records every device batch size and returns
