@@ -361,6 +361,9 @@ class Trainer:
             if self.cnt_update >= cfg.n_updates:
                 break
 
+        # the loop usually exits before the data stream does: stop the
+        # prefetch worker so it doesn't linger holding device buffers
+        data_iter.close()
         if self._last_saved_update != self.cnt_update:
             self.save()
         self.logger.info("training done at update %d", self.cnt_update)

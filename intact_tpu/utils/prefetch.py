@@ -27,15 +27,35 @@ class PrefetchIterator:
                  depth: int = 2):
         self._q: queue.Queue = queue.Queue(maxsize=depth)
         self._err: list[BaseException] = []
+        self._closed = threading.Event()
 
         def worker():
             try:
                 for item in it:
-                    self._q.put(prepare(item))
+                    prepared = prepare(item)
+                    # bounded put that notices close(): a consumer that
+                    # stops early (trainer reached n_updates) must not leave
+                    # this thread blocked forever holding prepared device
+                    # buffers and the underlying iterator
+                    while not self._closed.is_set():
+                        try:
+                            self._q.put(prepared, timeout=0.2)
+                            break
+                        except queue.Full:
+                            continue
+                    if self._closed.is_set():
+                        return
             except BaseException as e:  # noqa: BLE001 - re-raised in consumer
                 self._err.append(e)
             finally:
-                self._q.put(self._DONE)
+                # the sentinel MUST land (a dropped sentinel hangs the
+                # consumer); bounded retries so close() still unblocks us
+                while not self._closed.is_set():
+                    try:
+                        self._q.put(self._DONE, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
 
         self._thread = threading.Thread(target=worker, daemon=True)
         self._thread.start()
@@ -50,3 +70,20 @@ class PrefetchIterator:
                 raise self._err[0]
             raise StopIteration
         return item
+
+    def close(self, timeout: float = 5.0) -> None:
+        """Stop the worker and drop queued batches. Idempotent; call when
+        abandoning the iterator before exhaustion."""
+        self._closed.set()
+        while True:  # unblock a worker waiting on a full queue
+            try:
+                self._q.get_nowait()
+            except queue.Empty:
+                break
+        self._thread.join(timeout=timeout)
+
+    def __del__(self):  # best-effort: don't leak the worker
+        try:
+            self.close(timeout=0.1)
+        except Exception:
+            pass

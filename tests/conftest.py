@@ -11,6 +11,13 @@ import os
 # retrying DNS for minutes
 os.environ.setdefault("HF_HUB_OFFLINE", "1")
 
+# Hermetic: never touch the user's persistent XLA compile cache. The CLI
+# dispatch tests run intact_tpu.run.main() which otherwise enables it
+# process-wide, and a cache entry half-written by a killed TPU bench run
+# aborts the interpreter on deserialization ('Fatal Python error: Aborted'
+# inside pjit) for every test that compiles afterwards.
+os.environ.setdefault("INTACT_TPU_NO_COMPILE_CACHE", "1")
+
 # Force CPU: the host environment pins JAX_PLATFORMS=axon (a tunneled TPU
 # whose first compile is slow) and its sitecustomize re-applies the platform
 # through jax.config at interpreter start, so the env var alone is not
@@ -33,3 +40,19 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables after each test module.
+
+    The suite holds hundreds of jitted programs by the time the trainer
+    tests run; on the 1-core 8-virtual-device host the accumulated XLA
+    executables eventually abort the interpreter ('Fatal Python error:
+    Aborted' mid-pjit). Dropping caches between modules keeps the peak
+    bounded; individual modules recompile what they need."""
+    yield
+    import gc
+
+    jax.clear_caches()
+    gc.collect()
