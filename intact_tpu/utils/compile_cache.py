@@ -5,6 +5,13 @@ makes every later process start in seconds. Call `enable()` before the
 first jit compile (idempotent; respects an existing
 JAX_COMPILATION_CACHE_DIR / explicit jax config). Opt out with
 INTACT_TPU_NO_COMPILE_CACHE=1.
+
+KNOWN FAILURE MODE: a process killed (SIGTERM/timeout) mid-compile can
+leave a half-written cache entry; a LATER process deserializing it dies
+with `Fatal Python error: Aborted` inside pjit — far from the cause. If
+that signature appears after killed runs, `rm -rf` the cache dir and
+re-warm. The test suite always runs with the cache disabled
+(tests/conftest.py) for exactly this reason.
 """
 
 from __future__ import annotations
