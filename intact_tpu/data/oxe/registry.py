@@ -99,9 +99,16 @@ def _every_nth(traj, n: int):
 
 
 def _rel2abs(g):
+    """Relative gripper CLOSEDNESS command -> absolute [0,1] (1 = open).
+
+    The RT-1 family's raw `gripper_closedness_action` uses +1 = closing
+    (reference data_utils.py:303 "+1 for closing, -1 for opening ->
+    0 closed, 1 open"); our rel2abs helper's contract is +1 = OPEN, so the
+    command is negated on the way in — without it every grasp would be
+    labeled as an open."""
     from intact_tpu.data.tf_transforms import rel2abs_gripper_actions_tf
 
-    return rel2abs_gripper_actions_tf(g)
+    return rel2abs_gripper_actions_tf(-g)
 
 
 def _binarize(g):

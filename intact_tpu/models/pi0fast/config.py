@@ -35,6 +35,13 @@ class Pi0FASTConfig:
     action_low: float = -3.0   # normalized-action clip range for binning
     action_high: float = 3.0
 
+    # Width of the vocabulary tail that holds action tokens at DECODE time.
+    # None -> n_action_bins (the in-graph uniform binning scheme). When
+    # training on FAST DCT+BPE targets (pi0fast/fast_tokenizer, tokens
+    # mapped to the last max_token ids), set this to the tokenizer's
+    # max_token so greedy decoding can emit BPE merge tokens too.
+    action_vocab_size: int | None = None
+
     attention_impl: str = "pallas"
     freeze_vision_encoder: bool = False
     train_expert_only: bool = False

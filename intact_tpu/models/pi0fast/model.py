@@ -135,18 +135,21 @@ def compute_loss(params, key, batch: dict, cfg: Pi0FASTConfig,
     nll = -jnp.take_along_axis(logp, targets[:, :, None], axis=-1)[..., 0]
 
     if token_keep is not None:
-        nll = nll * token_keep.astype(nll.dtype)
-        loss = nll.sum() / jnp.maximum(token_keep.sum(), 1)
+        keep = token_keep
     elif "action_is_pad" in batch:
-        keep = ~batch["action_is_pad"]  # [B, chunk]
-        keep = jnp.repeat(keep, cfg.max_action_dim, axis=1)  # per-token
-        nll = nll * keep.astype(nll.dtype)
-        loss = nll.sum() / jnp.maximum(keep.sum(), 1)
+        keep = jnp.repeat(~batch["action_is_pad"], cfg.max_action_dim, axis=1)
     else:
-        loss = nll.mean()
-    acc = jnp.mean((jnp.argmax(logits, -1) == targets).astype(jnp.float32))
+        keep = jnp.ones(targets.shape, bool)
+    keep_f = keep.astype(nll.dtype)
+    n_keep = jnp.maximum(keep_f.sum(), 1)
+    loss = (nll * keep_f).sum() / n_keep
+    # accuracy over the SAME mask as the loss — padded positions hold
+    # target 0 the model is never trained on, so counting them deflates
+    # accuracy roughly by the padding fraction
+    match = (jnp.argmax(logits, -1) == targets).astype(jnp.float32)
+    acc = (match * keep_f).sum() / n_keep
     return loss, {"l2_loss": loss, "ce_loss": loss, "token_accuracy": acc,
-                  "losses": nll}
+                  "losses": nll * keep_f}
 
 
 # ---------------------------------------------------------------------------
@@ -221,9 +224,14 @@ def sample_actions(params, key, images, img_masks, lang_tokens, lang_masks, stat
         out, (ck, cv) = decode_one(x, (ck, cv, step), key_valid, position)
 
         logits = _logits(params, out[:, 0], policy)  # [B, V]
-        tail = logits[:, cfg.vlm.vocab_size - cfg.n_action_bins:]
+        # constrain decoding to the action-token vocabulary window: the
+        # last n_action_bins ids for uniform binning, or the FAST
+        # tokenizer's full max_token tail when action_vocab_size is set
+        # (FAST BPE merge tokens live beyond the 256 base bins)
+        win = cfg.action_vocab_size or cfg.n_action_bins
+        tail = logits[:, cfg.vlm.vocab_size - win:]
         j = jnp.argmax(tail, axis=-1)
-        next_tok = (cfg.vlm.vocab_size - cfg.n_action_bins + j).astype(jnp.int32)
+        next_tok = (cfg.vlm.vocab_size - win + j).astype(jnp.int32)
         return (next_tok, ck, cv, key_valid), next_tok
 
     init_tok = jnp.zeros((b,), jnp.int32)

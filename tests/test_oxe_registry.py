@@ -97,8 +97,23 @@ class TestCanonicalize:
         assert out["observation"]["proprio"].shape == (5, 8)
         assert out["observation"]["image_primary"].dtype == tf.uint8
         assert out["task"]["language_instruction"].numpy()[0] == b"pick coke can"
-        # relative close (+1) -> absolute closed (0 = close in [0,1], 1=open)
-        assert float(out["action"][0, -1]) in (0.0, 1.0)
+        # POLARITY: raw gripper_closedness_action is all +1 (= CLOSING in
+        # the RT-1 convention) -> canonical absolute gripper must be 0
+        # (closed) at every step, never 1 (open)
+        np.testing.assert_array_equal(
+            out["action"].numpy()[:, -1], np.zeros(5, np.float32)
+        )
+
+    def test_rt1_gripper_open_command(self):
+        raw = _rt1_raw()
+        raw["action"]["gripper_closedness_action"] = tf.constant(
+            [[1.0], [0.0], [-1.0], [0.0], [1.0]]  # close, hold, OPEN, hold, close
+        )
+        fn = reg.make_oxe_dataset_kwargs("fractal20220817_data", "/d")["standardize_fn"]
+        out = fn(raw)
+        np.testing.assert_array_equal(
+            out["action"].numpy()[:, -1], [0.0, 0.0, 1.0, 1.0, 0.0]
+        )
 
     def test_missing_primary_becomes_padding(self):
         fn = reg.make_oxe_dataset_kwargs(

@@ -168,3 +168,30 @@ class TestTokenReturn:
         )
         # ids live in the vocab tail
         assert int(tokens.min()) >= cfg.vlm.vocab_size - cfg.n_action_bins
+
+    def test_fast_vocab_window_widens_decode(self):
+        """action_vocab_size (the FAST tokenizer's max_token) widens the
+        decode window past n_action_bins so BPE merge tokens are emittable
+        — without it a FAST-trained model could never produce them."""
+        import dataclasses
+        import functools
+
+        import numpy as np
+
+        cfg = dataclasses.replace(Pi0FASTConfig.tiny(), action_vocab_size=64)
+        assert cfg.action_vocab_size > cfg.n_action_bins
+        params = fast.init(jax.random.key(0), cfg)
+        rng = np.random.default_rng(0)
+        b, s = 2, cfg.vision.image_size
+        sample = functools.partial(fast.sample_actions, cfg=cfg, policy=FP32)
+        tokens = sample(
+            params, jax.random.key(1),
+            jnp.asarray(rng.uniform(-1, 1, (b, 1, s, s, 3)), jnp.float32),
+            jnp.ones((b, 1), bool),
+            jnp.ones((b, cfg.tokenizer_max_length), jnp.int32),
+            jnp.ones((b, cfg.tokenizer_max_length), bool),
+            jnp.zeros((b, cfg.max_state_dim), jnp.float32),
+            return_tokens=True,
+        )
+        lo = cfg.vlm.vocab_size - cfg.action_vocab_size
+        assert int(tokens.min()) >= lo and int(tokens.max()) < cfg.vlm.vocab_size
