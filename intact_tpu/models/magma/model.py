@@ -15,6 +15,7 @@ Weight import consumes the microsoft/Magma-8B checkpoint layout
 
 from __future__ import annotations
 
+import logging
 import re
 
 import jax
@@ -117,22 +118,34 @@ def build_prompt(tokenizer, tasks: list[str], cfg: MagmaConfig):
         if bos is None and hf is not None:
             bos = hf.bos_token_id
         pre_ids = [bos] if bos is not None else []
-    post_texts = [
-        f"\nWhat action should the robot take to {t}?"
-        + (_CHAT_POST if cfg.use_chat_template else "")
+    # the assistant-header suffix must survive truncation: decoding from a
+    # user-turn context breaks the LLaMA-3-instruct framing, so an
+    # over-long instruction loses its own tail, never the chat suffix
+    suffix_ids = (
+        _encode_segment(tokenizer, _CHAT_POST) if cfg.use_chat_template else []
+    )
+    body_ids = [
+        _encode_segment(tokenizer, f"\nWhat action should the robot take to {t}?")
         for t in tasks
     ]
-    post_ids = [_encode_segment(tokenizer, t) for t in post_texts]
 
     n_pre, n_img = len(pre_ids), cfg.n_image_tokens
     n_post = cfg.max_prompt_tokens
+    n_body_max = max(n_post - len(suffix_ids), 0)
     tokens = np.zeros((b, n_pre + n_img + n_post), np.int32)
     masks = np.zeros_like(tokens, bool)
     tokens[:, :n_pre] = pre_ids
     masks[:, :n_pre] = True
     tokens[:, n_pre:n_pre + n_img] = cfg.image_token_id
     masks[:, n_pre:n_pre + n_img] = True
-    for i, ids in enumerate(post_ids):
+    for i, body in enumerate(body_ids):
+        if len(body) > n_body_max:
+            logging.getLogger("intact_tpu.magma").warning(
+                "instruction %r truncated from %d to %d tokens to fit "
+                "max_prompt_tokens=%d (chat suffix preserved)",
+                tasks[i][:60], len(body), n_body_max, n_post,
+            )
+        ids = body[:n_body_max] + suffix_ids
         ids = ids[:n_post]
         tokens[i, n_pre + n_img:n_pre + n_img + len(ids)] = ids
         masks[i, n_pre + n_img:n_pre + n_img + len(ids)] = True

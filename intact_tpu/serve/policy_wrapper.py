@@ -4,8 +4,15 @@ Role parity with `src/experiments/policies/policy_wrapper.py:26-371`:
 `select_action(obs) -> np.ndarray [action_step, dim]`, `reset()`,
 `switch_model(path)` (hot checkpoint swap for sweeps). The TPU differences:
 params reload is an Orbax restore into fresh device buffers (no gc/empty-
-cache dance), and wrappers expose `select_action_batch` so the batching
-server can fuse concurrent client requests into one device call.
+cache dance), and every wrapper implements ONE fused-batch contract —
+`infer_batch(items)` — that both the per-request path (`select_action`) and
+the continuous-batching server route through, so there is a single fuse
+implementation per model family.
+
+Per-connection episode state (env-adapter sticky grippers, Octo's image
+history, SpatialVLA's chunk ensembler) lives in a `PolicySession`, created
+per websocket connection by the batching server via `new_session()`. The
+shared device-side policy stays stateless across co-batched clients.
 """
 
 from __future__ import annotations
@@ -16,27 +23,146 @@ from intact_tpu.utils.monitor import setup_logger
 from intact_tpu.utils.pipeline import get_class_from_path, set_seed_everywhere
 
 
+class PolicySession:
+    """Per-connection episode state: a fresh env adapter plus any
+    model-specific state a family needs between steps. One client's
+    `reset` resets only its own session — co-batched neighbors and the
+    shared policy are untouched (the reference's per-connection reset
+    semantics, websocket_policy_server.py:74-77)."""
+
+    def __init__(self, wrapper: "BasePolicyWrapper", adapter):
+        self.wrapper = wrapper
+        self.adapter = adapter
+
+    def preprocess(self, obs: dict) -> dict:
+        return self.adapter.preprocess(obs)
+
+    def reset(self) -> None:
+        self.adapter.reset()
+
+
 class BasePolicyWrapper:
+    session_cls = PolicySession
+
     def __init__(self, config):
         self.config = config
         self.logger = setup_logger(True, name="policy_wrapper")
         set_seed_everywhere(config.seed, train=False)
         self.env_adapter = get_class_from_path(config.eval_cfg.env_adapter_path)(config)
         self.action_step = config.eval_cfg.action_step
+        self._default_session: PolicySession | None = None
+
+    # ------------------------------------------------------------------
+    # session / fuse surface (consumed by serve.batching)
+    # ------------------------------------------------------------------
+
+    @property
+    def session(self) -> PolicySession:
+        """The wrapper's own session (per-request server path). Lazy: family
+        session classes read state set up by subclass __init__."""
+        if self._default_session is None:
+            self._default_session = self.session_cls(self, self.env_adapter)
+        return self._default_session
+
+    def new_session(self) -> PolicySession:
+        """Fresh per-connection state for the batching server."""
+        adapter = get_class_from_path(self.config.eval_cfg.env_adapter_path)(
+            self.config
+        )
+        return self.session_cls(self, adapter)
+
+    def fuse_key(self, inputs: dict):
+        """Requests whose inputs share this key may be fused into one device
+        batch; the batching server groups by it, so a client sending odd
+        shapes forms its own group instead of poisoning neighbors."""
+        return tuple(
+            (k, v.shape[1:])
+            for k, v in sorted(inputs.items())
+            if isinstance(v, np.ndarray)
+        )
+
+    def bucket_size(self, n: int) -> int:
+        """Fused device batches pad to power-of-two buckets (capped at
+        eval_cfg.max_batch_size) so the jitted sample path compiles a bounded
+        set of shapes instead of one per arrival pattern."""
+        b = 1
+        while b < n:
+            b *= 2
+        if n <= self.config.eval_cfg.max_batch_size:
+            b = min(b, self.config.eval_cfg.max_batch_size)
+        return b
+
+    def bucket_sizes(self) -> list[int]:
+        sizes, b = [], 1
+        max_b = max(int(self.config.eval_cfg.max_batch_size), 1)
+        while b < max_b:
+            sizes.append(b)
+            b *= 2
+        sizes.append(max_b)
+        return sizes
+
+    def infer_batch(self, items: list[tuple[dict, PolicySession]]):
+        """THE fuse contract: N (inputs, session) pairs -> N results in
+        order, each an env-action array or an Exception (one client's
+        failing postprocess must not kill co-batched neighbors). Default:
+        per-item serial inference (families without a fused device path,
+        e.g. the upstream-HF scaffolds)."""
+        out = []
+        for inputs, session in items:
+            try:
+                out.append(self._infer_one(inputs, session))
+            except Exception as e:  # noqa: BLE001 — isolated per request
+                out.append(e)
+        return out
+
+    def _infer_one(self, inputs: dict, session: PolicySession) -> np.ndarray:
+        raise NotImplementedError
+
+    def warmup_inputs(self) -> dict:
+        """One post-preprocess request the server can replicate to compile
+        every fused-batch bucket before accepting traffic."""
+        raise NotImplementedError
+
+    def prewarm(self) -> None:
+        """Compile every fused-batch bucket (one dummy inference per bucket)
+        so a ramping client fleet never pays a compile mid-traffic."""
+        session = self.new_session()
+        for b in self.bucket_sizes():
+            try:
+                inputs = self.warmup_inputs()
+            except NotImplementedError:
+                self.logger.info("no warmup inputs for %s; skipping prewarm",
+                                 type(self).__name__)
+                return
+            results = self.infer_batch([(inputs, session)] * b)
+            for r in results:
+                if isinstance(r, Exception):
+                    # the device compile already happened; only the dummy
+                    # postprocess failed
+                    self.logger.warning("prewarm postprocess: %s", r)
+                    break
+            self.logger.info("prewarmed bucket %d", b)
+
+    # ------------------------------------------------------------------
+    # per-request surface (reference policy_wrapper.py API)
+    # ------------------------------------------------------------------
 
     def reset(self) -> None:
-        self.env_adapter.reset()
+        self.session.reset()
 
     def switch_model(self, new_model_path: str) -> None:
         raise NotImplementedError
 
     def select_action(self, obs: dict) -> np.ndarray:
-        raise NotImplementedError
+        res = self.infer_batch([(self.session.preprocess(obs), self.session)])[0]
+        if isinstance(res, Exception):
+            raise res
+        return res
 
 
 class Pi0PolicyWrapper(BasePolicyWrapper):
-    """Serves intact_tpu Pi0 checkpoints (LeRobotPolicyWrapper-equivalent,
-    reference policy_wrapper.py:106-157)."""
+    """Serves intact_tpu Pi0/MVLA checkpoints (LeRobotPolicyWrapper-
+    equivalent, reference policy_wrapper.py:106-157)."""
 
     def __init__(self, config, model_cfg=None):
         super().__init__(config)
@@ -79,34 +205,87 @@ class Pi0PolicyWrapper(BasePolicyWrapper):
         self.policy.load(new_model_path)
         self.env_adapter.reset()
 
-    def select_action(self, obs: dict) -> np.ndarray:
-        """One client obs -> [action_step, action_dim] env actions; batched
-        adapters (vectorized ManiSkill3) get [N, action_step, action_dim]."""
-        inputs = self.env_adapter.preprocess(obs)
-        chunk = self.policy.sample_action_chunk(inputs)  # [N, chunk, 32]
-        env_dim = len(self.env_adapter.dataset_statistics["action"]["mean"])
-        if hasattr(self.env_adapter, "postprocess_batch"):
-            return self.env_adapter.postprocess_batch(
-                chunk[:, : self.action_step, :env_dim]
-            )
-        return self.env_adapter.postprocess(chunk[0, : self.action_step, :env_dim])
-
-    def select_action_batch(self, obs_list: list[dict]) -> list[np.ndarray]:
-        """Fused inference for the batching server: N client obs -> N action
-        chunks in ONE device call. Adapters with episode state (sticky
-        gripper) are per-connection, so postprocess stays per-item."""
-        inputs = [self.env_adapter.preprocess(o) for o in obs_list]
-        batch = {
-            "image": np.concatenate([i["image"] for i in inputs]),
-            "state": np.concatenate([i["state"] for i in inputs]),
-            "task": [i["task"][0] for i in inputs],
+    def warmup_inputs(self) -> dict:
+        h, w = self.config.env.image_size
+        state_dim = int(getattr(
+            getattr(self.policy, "cfg", None), "max_state_dim", 8
+        ) or 8)
+        return {
+            "image": np.zeros((1, h, w, 3), np.float32),
+            "state": np.zeros((1, state_dim), np.float32),
+            "task": ["warmup"],
         }
-        chunks = self.policy.sample_action_chunk(batch)  # [N, chunk, 32]
-        env_dim = len(self.env_adapter.dataset_statistics["action"]["mean"])
-        return [
-            self.env_adapter.postprocess(chunks[i, : self.action_step, :env_dim])
-            for i in range(len(obs_list))
-        ]
+
+    def infer_batch(self, items):
+        """Fuse N requests' {image, state, task} into ONE bucketed
+        sample_action_chunk call, then scatter per-item postprocess.
+        Requests may carry >1 row each (vectorized ManiSkill3 adapters)."""
+        rows = [it[0]["image"].shape[0] for it in items]
+        n = sum(rows)
+        pad = self.bucket_size(n) - n
+        imgs = np.concatenate([it[0]["image"] for it in items])
+        states = np.concatenate([it[0]["state"] for it in items])
+        tasks = [t for it in items for t in it[0]["task"]]
+        if pad:  # replicate the last row up to the bucket boundary
+            imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad, axis=0)])
+            states = np.concatenate([states, np.repeat(states[-1:], pad, axis=0)])
+            tasks = tasks + [tasks[-1]] * pad
+        chunks = self.policy.sample_action_chunk(
+            {"image": imgs, "state": states, "task": tasks}
+        )  # [bucket, chunk, max_action_dim]
+
+        out, offset = [], 0
+        for (inputs, session), r in zip(items, rows):
+            try:
+                env_dim = len(session.adapter.dataset_statistics["action"]["mean"])
+                sl = chunks[offset:offset + r, : self.action_step, :env_dim]
+                if hasattr(session.adapter, "postprocess_batch"):
+                    out.append(session.adapter.postprocess_batch(sl))
+                else:
+                    out.append(session.adapter.postprocess(sl[0]))
+            except Exception as e:  # noqa: BLE001 — isolated per request
+                out.append(e)
+            offset += r
+        return out
+
+
+class OctoSession(PolicySession):
+    """Octo keeps a 2-frame image-history deque with a timestep pad mask
+    (reference policy_wrapper.py:344-354). The deque is per-connection: a
+    co-batched client's reset must not clear another episode's history."""
+
+    def __init__(self, wrapper, adapter):
+        super().__init__(wrapper, adapter)
+        from collections import deque
+
+        self.history = deque(maxlen=wrapper.model_cfg.history)
+
+    def preprocess(self, obs: dict) -> dict:
+        cfg = self.wrapper.model_cfg
+        inputs = self.adapter.preprocess(obs)
+        got = inputs["image"].shape[1:3]
+        if got != (cfg.image_size, cfg.image_size):
+            # the adapter owns the (fidelity-critical, upstream-matching)
+            # resize — a silent re-resize here would corrupt it, so mismatch
+            # is a config error: set env.image_size to the model's input size
+            raise ValueError(
+                f"octo adapter produced {got} images but the model expects "
+                f"({cfg.image_size}, {cfg.image_size}); set env.image_size "
+                "accordingly"
+            )
+        self.history.append(np.asarray(inputs["image"][0]))
+        frames = list(self.history)
+        n_pad = cfg.history - len(frames)
+        return {
+            "images": np.stack([frames[0]] * n_pad + frames)[None],  # [1,T,H,W,3]
+            "img_masks": np.array([[False] * n_pad + [True] * len(frames)]),
+            "state": np.asarray(inputs["state"], np.float32),
+            "task": inputs["task"],
+        }
+
+    def reset(self) -> None:
+        super().reset()
+        self.history.clear()
 
 
 class OctoPolicyWrapper(BasePolicyWrapper):
@@ -114,11 +293,12 @@ class OctoPolicyWrapper(BasePolicyWrapper):
     semantics: 2-frame image history deque with timestep pad mask, text task,
     diffusion-head sampling)."""
 
+    session_cls = OctoSession
+
     def __init__(self, config, model_cfg=None):
         super().__init__(config)
         import functools
         import importlib
-        from collections import deque
 
         import jax
         import jax.numpy as jnp
@@ -150,7 +330,6 @@ class OctoPolicyWrapper(BasePolicyWrapper):
                 "hermetic hash tokenizer (NOT t5-vocab-compatible)"
             )
             self.tokenizer = make_tokenizer("hash", cfg.max_lang_tokens, vocab_size=vocab)
-        self._history = deque(maxlen=cfg.history)
         self._rng = jax.random.key(config.seed)
         self._sample = jax.jit(
             functools.partial(self.model.sample_actions, cfg=cfg)
@@ -158,10 +337,6 @@ class OctoPolicyWrapper(BasePolicyWrapper):
         path = config.eval_cfg.pretrained_model_path
         if path:
             self.switch_model(path)
-
-    def reset(self):
-        super().reset()
-        self._history.clear()
 
     def switch_model(self, new_model_path: str) -> None:
         """Orbax step dirs for own-trained checkpoints; released Octo
@@ -178,26 +353,50 @@ class OctoPolicyWrapper(BasePolicyWrapper):
             self.params = ckpt_lib.restore_params(new_model_path, self.params)
         self.reset()
 
-    def select_action(self, obs: dict) -> "np.ndarray":
+    def warmup_inputs(self) -> dict:
+        cfg = self.model_cfg
+        # the session guards adapter output to the model's input size, so
+        # warmup compiles exactly the serving shape
+        h = w = cfg.image_size
+        return {
+            "images": np.zeros((1, cfg.history, h, w, 3), np.float32),
+            "img_masks": np.ones((1, cfg.history), bool),
+            "state": np.zeros((1, cfg.action_dim), np.float32),
+            "task": ["warmup"],
+        }
+
+    def infer_batch(self, items):
+        """Fuse N requests' {images, img_masks, state, task} (history
+        stacking already done per-session) into one bucketed diffusion
+        sample; scatter per-item postprocess."""
         jnp, jax = self._jnp, self._jax
         cfg = self.model_cfg
-        inputs = self.env_adapter.preprocess(obs)
+        n = len(items)
+        pad = self.bucket_size(n) - n
 
-        self._history.append(np.asarray(inputs["image"][0]))
-        frames = list(self._history)
-        n_pad = cfg.history - len(frames)
-        images = np.stack([frames[0]] * n_pad + frames)[None]  # [1, T, H, W, 3]
-        img_masks = np.array([[False] * n_pad + [True] * len(frames)])
+        def fused(key):
+            arr = np.concatenate([it[0][key] for it in items])
+            if pad:
+                arr = np.concatenate([arr, np.repeat(arr[-1:], pad, axis=0)])
+            return arr
 
-        lang_tokens, lang_masks = self.tokenizer(inputs["task"], cfg.max_lang_tokens)
+        tasks = [it[0]["task"][0] for it in items]
+        tasks = tasks + [tasks[-1]] * pad
+        lang_tokens, lang_masks = self.tokenizer(tasks, cfg.max_lang_tokens)
         self._rng, key = jax.random.split(self._rng)
-        chunk = self._sample(
-            self.params, key, jnp.asarray(images), jnp.asarray(img_masks),
-            jnp.asarray(lang_tokens), jnp.asarray(lang_masks),
-            jnp.asarray(inputs["state"]),
-        )
-        chunk = np.asarray(chunk)[0, : self.action_step]
-        return self.env_adapter.postprocess(chunk)
+        chunk = np.asarray(self._sample(
+            self.params, key, jnp.asarray(fused("images")),
+            jnp.asarray(fused("img_masks")), jnp.asarray(lang_tokens),
+            jnp.asarray(lang_masks), jnp.asarray(fused("state")),
+        ))
+
+        out = []
+        for i, (inputs, session) in enumerate(items):
+            try:
+                out.append(session.adapter.postprocess(chunk[i, : self.action_step]))
+            except Exception as e:  # noqa: BLE001
+                out.append(e)
+        return out
 
 
 class SpatialVLAPolicyWrapper(BasePolicyWrapper):
@@ -226,14 +425,13 @@ class SpatialVLAPolicyWrapper(BasePolicyWrapper):
 
         self.model = AutoModel.from_pretrained(new_model_path, trust_remote_code=True)
 
-    def select_action(self, obs: dict) -> "np.ndarray":
-        inputs = self.env_adapter.preprocess(obs)
+    def _infer_one(self, inputs: dict, session: PolicySession) -> np.ndarray:
         hf_inputs = self.processor(
             images=inputs["image"], text=inputs["task"][0], return_tensors="pt"
         )
         out = self.model.predict_action(hf_inputs)
         actions = self.processor.decode_actions(out, unnorm_key=self.unnorm_key)
-        return self.env_adapter.postprocess(np.asarray(actions)[: self.action_step])
+        return session.adapter.postprocess(np.asarray(actions)[: self.action_step])
 
 
 class MagmaPolicyWrapper(BasePolicyWrapper):
@@ -265,13 +463,12 @@ class MagmaPolicyWrapper(BasePolicyWrapper):
             new_model_path, trust_remote_code=True
         )
 
-    def select_action(self, obs: dict) -> "np.ndarray":
+    def _infer_one(self, inputs: dict, session: PolicySession) -> np.ndarray:
         from intact_tpu.serve.decoding import (
             denormalize_with_quantiles,
             tokens_to_actions,
         )
 
-        inputs = self.env_adapter.preprocess(obs)
         convo = [{"role": "user", "content": f"<image>\nWhat action should the robot take to {inputs['task'][0]}?"}]
         prompt = self.processor.tokenizer.apply_chat_template(
             convo, tokenize=False, add_generation_prompt=True
@@ -280,10 +477,62 @@ class MagmaPolicyWrapper(BasePolicyWrapper):
         output_ids = self.model.generate(**hf_inputs, max_new_tokens=1000, use_cache=False)
         action_ids = np.asarray(output_ids)[0, -(self.N_ACTION_TOKENS + 1):-1]
         norm = tokens_to_actions(action_ids, vocab_size=len(self.processor.tokenizer))
-        stats = self.env_adapter.dataset_statistics["action"]
+        stats = session.adapter.dataset_statistics["action"]
         mask = np.array([True] * 6 + [False])
         raw = denormalize_with_quantiles(norm, stats["p01"], stats["p99"], mask)
-        return self.env_adapter.postprocess(raw[None])
+        return session.adapter.postprocess(raw[None])
+
+
+class SpatialVLASession(PolicySession):
+    """SpatialVLA's exp-weighted chunk ensembler is per-episode state
+    (reference simpler.py:492-519) — per-connection here. preprocess also
+    owns the host-side resize + depth prep so the fused device call only
+    sees model-shaped arrays."""
+
+    def __init__(self, wrapper, adapter):
+        super().__init__(wrapper, adapter)
+        from intact_tpu.envs.adapters.simpler import ActionEnsembler
+
+        self.ensembler = ActionEnsembler(
+            pred_horizon=wrapper.model_cfg.n_action_steps
+        )
+
+    def preprocess(self, obs: dict) -> dict:
+        import cv2
+
+        wrapper = self.wrapper
+        cfg = wrapper.model_cfg
+        inputs = self.adapter.preprocess(obs)
+        image = np.asarray(inputs["image"], np.float32)  # [1, H, W, 3] in [-1,1]
+        s = cfg.vision.image_size
+        if image.shape[1] != s or image.shape[2] != s:
+            image = np.stack([
+                cv2.resize(im, (s, s), interpolation=cv2.INTER_LINEAR)
+                for im in image
+            ])
+        depth = obs.get("observation.depth")
+        if depth is None:
+            # no depth estimator on the serving host: flat-plane prior (the
+            # upstream ZoeDepth estimate is an external asset; Ego3D then
+            # encodes ray directions + plane distance)
+            depth = wrapper._svla.flat_depth(image.shape[0], cfg)
+        else:
+            g = cfg.vision.grid
+            d = np.asarray(depth, np.float32)
+            if d.ndim == 2:
+                d = d[None]
+            depth = np.stack([
+                cv2.resize(di, (g, g), interpolation=cv2.INTER_AREA) for di in d
+            ])
+        return {
+            "image": image,
+            "depth": np.asarray(depth, np.float32),
+            "task": inputs["task"],
+        }
+
+    def reset(self) -> None:
+        super().reset()
+        self.ensembler.reset()
 
 
 class SpatialVLANativePolicyWrapper(BasePolicyWrapper):
@@ -293,13 +542,14 @@ class SpatialVLANativePolicyWrapper(BasePolicyWrapper):
     Chunk ensembling mirrors the reference's SpatialVLA adapter
     (exp-weighted ActionEnsembler, simpler.py:492-519)."""
 
+    session_cls = SpatialVLASession
+
     def __init__(self, config, model_cfg=None):
         super().__init__(config)
         import functools
 
         import jax
 
-        from intact_tpu.envs.adapters.simpler import ActionEnsembler
         from intact_tpu.models.common import DEFAULT_POLICY, SERVING_POLICY
         from intact_tpu.models.spatialvla import model as svla
         from intact_tpu.models.tokenizer import make_tokenizer
@@ -321,17 +571,12 @@ class SpatialVLANativePolicyWrapper(BasePolicyWrapper):
             vocab_size=cfg.spatial_offset,
         )
         self.action_tokenizer = svla.make_action_tokenizer(cfg)
-        self.ensembler = ActionEnsembler(pred_horizon=cfg.n_action_steps)
         self._predict = jax.jit(
             functools.partial(svla.predict_action_tokens, cfg=cfg, policy=policy)
         )
         path = config.eval_cfg.pretrained_model_path
         if path:
             self.switch_model(path)
-
-    def reset(self) -> None:
-        super().reset()
-        self.ensembler.reset()
 
     def switch_model(self, new_model_path: str) -> None:
         import os
@@ -351,42 +596,73 @@ class SpatialVLANativePolicyWrapper(BasePolicyWrapper):
             self.params = ckpt_lib.restore_params(new_model_path, self.params)
         self.reset()
 
-    def select_action(self, obs: dict) -> np.ndarray:
+    def warmup_inputs(self) -> dict:
+        cfg = self.model_cfg
+        s = cfg.vision.image_size
+        return {
+            "image": np.zeros((1, s, s, 3), np.float32),
+            "depth": np.asarray(self._svla.flat_depth(1, cfg), np.float32),
+            "task": ["warmup"],
+        }
+
+    def infer_batch(self, items):
+        """Fuse N requests into one spatial-token decode; per-item chunk
+        decode + per-session ensembling + postprocess."""
+        cfg = self.model_cfg
+        n = len(items)
+        pad = self.bucket_size(n) - n
+
+        def fused(key):
+            arr = np.concatenate([it[0][key] for it in items])
+            if pad:
+                arr = np.concatenate([arr, np.repeat(arr[-1:], pad, axis=0)])
+            return arr
+
+        tasks = [it[0]["task"][0] for it in items]
+        tasks = tasks + [tasks[-1]] * pad
+        lang_tokens, lang_masks = self.tokenizer(tasks, cfg.tokenizer_max_length)
+        ids = np.asarray(self._predict(
+            self.params, fused("image"), fused("depth"), lang_tokens, lang_masks
+        ))
+
+        out = []
+        for i, (inputs, session) in enumerate(items):
+            try:
+                chunk = self.action_tokenizer.decode(
+                    ids[i].reshape(cfg.n_action_steps, cfg.tokens_per_action)
+                )  # [n_steps, 7] normalized
+                ensembled = session.ensembler.ensemble(chunk)
+                out.append(session.adapter.postprocess(ensembled[None]))
+            except Exception as e:  # noqa: BLE001
+                out.append(e)
+        return out
+
+
+class MagmaSession(PolicySession):
+    """Magma's host-side image prep (CLIP normalization at the ConvNeXt
+    native resolution) happens per-connection so the fused device call only
+    sees model-shaped arrays."""
+
+    # CLIP image normalization (the HF Magma processor's convention)
+    _CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+    _CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+
+    def preprocess(self, obs: dict) -> dict:
         import cv2
 
-        cfg = self.model_cfg
-        inputs = self.env_adapter.preprocess(obs)
-        image = np.asarray(inputs["image"], np.float32)  # [1, H, W, 3] in [-1,1]
-        s = cfg.vision.image_size
-        if image.shape[1] != s or image.shape[2] != s:
-            image = np.stack([
+        inputs = self.adapter.preprocess(obs)
+        s = self.wrapper.model_cfg.image_size
+        # adapter output [B, H, W, 3] in [-1, 1] -> CLIP floats at native res
+        pix01 = (np.asarray(inputs["image"], np.float32) + 1.0) / 2.0
+        if pix01.shape[1] != s or pix01.shape[2] != s:
+            pix01 = np.stack([
                 cv2.resize(im, (s, s), interpolation=cv2.INTER_LINEAR)
-                for im in image
+                for im in pix01
             ])
-        depth = obs.get("observation.depth")
-        if depth is None:
-            # no depth estimator on the serving host: flat-plane prior (the
-            # upstream ZoeDepth estimate is an external asset; Ego3D then
-            # encodes ray directions + plane distance)
-            depth = self._svla.flat_depth(image.shape[0], cfg)
-        else:
-            g = cfg.vision.grid
-            d = np.asarray(depth, np.float32)
-            if d.ndim == 2:
-                d = d[None]
-            depth = np.stack([
-                cv2.resize(di, (g, g), interpolation=cv2.INTER_AREA) for di in d
-            ])
-
-        lang_tokens, lang_masks = self.tokenizer(inputs["task"], cfg.tokenizer_max_length)
-        ids = np.asarray(
-            self._predict(self.params, image, depth, lang_tokens, lang_masks)
-        )[0]
-        chunk = self.action_tokenizer.decode(
-            ids.reshape(cfg.n_action_steps, cfg.tokens_per_action)
-        )  # [n_steps, 7] normalized
-        ensembled = self.ensembler.ensemble(chunk)
-        return self.env_adapter.postprocess(ensembled[None])
+        return {
+            "image": (pix01 - self._CLIP_MEAN) / self._CLIP_STD,
+            "task": inputs["task"],
+        }
 
 
 class MagmaNativePolicyWrapper(BasePolicyWrapper):
@@ -394,6 +670,8 @@ class MagmaNativePolicyWrapper(BasePolicyWrapper):
     XLA program (models/magma), replacing the reference's torch
     `generate(use_cache=False)` Python loop (policy_wrapper.py:226-303).
     Checkpoints: HF safetensors snapshot (imported) or Orbax step dirs."""
+
+    session_cls = MagmaSession
 
     def __init__(self, config, model_cfg=None):
         super().__init__(config)
@@ -449,44 +727,46 @@ class MagmaNativePolicyWrapper(BasePolicyWrapper):
             self.params = ckpt_lib.restore_params(new_model_path, self.params)
         self.env_adapter.reset()
 
-    # CLIP image normalization (the HF Magma processor's convention)
-    _CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
-    _CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
-
-    def _prep_images(self, image: np.ndarray) -> np.ndarray:
-        """Adapter output [B, H, W, 3] in [-1, 1] -> CLIP-normalized floats
-        at the vision tower's native resolution."""
-        import cv2
-
+    def warmup_inputs(self) -> dict:
         s = self.model_cfg.image_size
-        pix01 = (np.asarray(image, np.float32) + 1.0) / 2.0
-        if pix01.shape[1] != s or pix01.shape[2] != s:
-            pix01 = np.stack([
-                cv2.resize(im, (s, s), interpolation=cv2.INTER_LINEAR)
-                for im in pix01
-            ])
-        return (pix01 - self._CLIP_MEAN) / self._CLIP_STD
+        return {
+            "image": np.zeros((1, s, s, 3), np.float32),
+            "task": ["warmup"],
+        }
 
-    def select_action(self, obs: dict) -> np.ndarray:
+    def infer_batch(self, items):
+        """Fuse N requests into one batched greedy decode; per-item token
+        de-discretization + quantile denorm + postprocess."""
         from intact_tpu.serve.decoding import (
             denormalize_with_quantiles,
             tokens_to_actions,
         )
 
         cfg = self.model_cfg
-        inputs = self.env_adapter.preprocess(obs)
-        images = self._prep_images(inputs["image"])
-        tokens, masks = self._magma.build_prompt(self.tokenizer, inputs["task"], cfg)
-        out_ids = np.asarray(
-            self._generate(self.params, images, tokens, masks)
-        )[0, : cfg.n_action_tokens]
-        norm = tokens_to_actions(
-            out_ids, vocab_size=cfg.lm.vocab_size, n_bins=cfg.n_action_bins
-        )
-        stats = self.env_adapter.dataset_statistics["action"]
-        mask = np.array([True] * 6 + [False])
-        raw = denormalize_with_quantiles(norm, stats["p01"], stats["p99"], mask)
-        return self.env_adapter.postprocess(raw[None])
+        n = len(items)
+        pad = self.bucket_size(n) - n
+        images = np.concatenate([it[0]["image"] for it in items])
+        tasks = [it[0]["task"][0] for it in items]
+        if pad:
+            images = np.concatenate([images, np.repeat(images[-1:], pad, axis=0)])
+            tasks = tasks + [tasks[-1]] * pad
+        tokens, masks = self._magma.build_prompt(self.tokenizer, tasks, cfg)
+        out_ids = np.asarray(self._generate(self.params, images, tokens, masks))
+
+        out = []
+        for i, (inputs, session) in enumerate(items):
+            try:
+                norm = tokens_to_actions(
+                    out_ids[i, : cfg.n_action_tokens],
+                    vocab_size=cfg.lm.vocab_size, n_bins=cfg.n_action_bins,
+                )
+                stats = session.adapter.dataset_statistics["action"]
+                mask = np.array([True] * 6 + [False])
+                raw = denormalize_with_quantiles(norm, stats["p01"], stats["p99"], mask)
+                out.append(session.adapter.postprocess(raw[None]))
+            except Exception as e:  # noqa: BLE001
+                out.append(e)
+        return out
 
 
 def make_policy_wrapper(config):

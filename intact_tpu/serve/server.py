@@ -8,8 +8,10 @@ from intact_tpu.protocol.websocket_policy_server import WebsocketPolicyServer
 
 def serve(policy_wrapper, config, batching: bool | None = None) -> None:
     """Blocking. policy_wrapper follows the select_action/reset/switch_model
-    surface; with batching=True the underlying Pi0Policy is served through
-    the request-fusing server instead."""
+    surface; with batching enabled (default whenever max_batch_size > 1) it
+    is served through the request-fusing server instead — every family
+    (Pi0/MVLA, Octo, SpatialVLA, Magma) implements the `infer_batch` fuse
+    contract, so continuous batching is not Pi0-specific."""
     ec = config.eval_cfg
     metadata = {
         "model": config.model_cfg.get("type", "pi0"),
@@ -17,11 +19,11 @@ def serve(policy_wrapper, config, batching: bool | None = None) -> None:
     }
     use_batching = batching if batching is not None else ec.max_batch_size > 1
 
-    if use_batching and hasattr(policy_wrapper, "policy"):
+    if use_batching:
         from intact_tpu.serve.batching import BatchingPolicyServer
 
         BatchingPolicyServer(
-            policy_wrapper.policy,
+            policy_wrapper,
             config,
             host=ec.host,
             port=ec.port,

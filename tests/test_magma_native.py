@@ -92,6 +92,26 @@ class TestForward:
         ids = magma.generate(params, _images(cfg_t, 1), tokens, masks, cfg_t)
         assert ids.shape == (1, cfg.n_action_tokens + 1)
 
+    def test_truncation_preserves_chat_suffix(self, cfg):
+        """An over-long instruction loses its own tail, never the
+        assistant-header suffix — decoding from a user-turn context would
+        break the LLaMA-3-instruct framing (ADVICE round-2 #2)."""
+        import dataclasses
+
+        cfg_t = dataclasses.replace(cfg, use_chat_template=True)
+        tok = HashTokenizer(vocab_size=cfg.image_token_id,
+                            max_length=cfg.max_prompt_tokens)
+        long_task = " ".join(["word"] * (cfg.max_prompt_tokens * 3))
+        tokens, masks = magma.build_prompt(tok, [long_task], cfg_t)
+        suffix = magma._encode_segment(tok, magma._CHAT_POST)
+        assert suffix, "chat suffix must tokenize to something"
+        # the LAST masked tokens of the prompt are exactly the chat suffix
+        last = tokens[0][masks[0]][-len(suffix):]
+        np.testing.assert_array_equal(last, suffix)
+        # and the budget is fully used (truncation happened)
+        n_pre = len(magma._encode_segment(tok, magma._CHAT_PRE))
+        assert masks[0].sum() == n_pre + cfg.n_image_tokens + cfg.max_prompt_tokens
+
     def test_image_sensitivity(self, cfg, params):
         """Different images must be able to change the decoded tokens' logits
         path — check the prefill embeds differ."""
