@@ -125,6 +125,13 @@ def bench_train(args) -> int:
 
     import numpy as np
 
+    # drain the device queue with real readbacks before the first jit call
+    # (tunnel slow path — see the serve-mode comment below)
+    _smallest = min(jax.tree.leaves(params), key=lambda x: x.size)
+    _ = float(np.asarray(_smallest).ravel()[0])
+    for _x in batch.values():
+        np.asarray(_x)
+
     t0 = time.time()
     state, metrics = step(state, batch)
     print(f"# compile+first {time.time()-t0:.1f}s (loss {float(metrics['l2_loss']):.3f})",
@@ -238,6 +245,20 @@ def main() -> int:
     lang_tokens = jax.random.randint(ks[1], (b, cfg.tokenizer_max_length), 0, 255)
     lang_masks = jnp.ones((b, cfg.tokenizer_max_length), bool)
     state = jax.random.normal(ks[2], (b, cfg.max_state_dim))
+
+    import numpy as np
+
+    # Drain the device queue with REAL host readbacks before the first jit
+    # call. Through the tunneled TPU, block_until_ready can return early, and
+    # lowering the big graph while init/batch programs are still in flight
+    # hits a pathological tunnel slow path: the device_get of the closed-over
+    # constants stalls 100-300 s (measured: lower() 103.8 s with the queue
+    # busy vs 0.2 s drained — this was the entire round-2 "11x cold-compile
+    # regression"). On a real TPU VM these readbacks cost milliseconds.
+    _smallest = min(jax.tree.leaves(params), key=lambda x: x.size)
+    _ = float(np.asarray(_smallest).ravel()[0])
+    for _x in (images, img_masks, lang_tokens, lang_masks, state):
+        np.asarray(_x)
 
     # params passed explicitly: closing over concrete params would bake GBs
     # of constants into the lowered HLO

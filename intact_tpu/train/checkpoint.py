@@ -114,9 +114,19 @@ def restore_train_state(
     path = Path(ckpt_path)
     if not (path / "params").exists():
         # resume wants the newest COMMITTED save; a crash mid-save leaves a
-        # partial step dir that must be skipped
-        steps = list_steps(path, committed_only=True) or list_steps(path)
+        # partial step dir (no auxiliary_data.json marker) that must never
+        # be silently restored
+        steps = list_steps(path, committed_only=True)
         if not steps:
+            partial = list_steps(path)
+            if partial:
+                raise FileNotFoundError(
+                    f"only uncommitted (crash-truncated?) step dirs under "
+                    f"{path}: steps {partial}. Each lacks the "
+                    "auxiliary_data.json commit marker; restoring one risks "
+                    "partial params. Point ckpt_path directly at a step dir "
+                    "to force-restore it."
+                )
             raise FileNotFoundError(f"no checkpoint under {path}")
         path = step_dir(path, steps[-1])
 

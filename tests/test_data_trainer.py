@@ -189,3 +189,26 @@ class TestMixedFinetunePrecision:
         # one step still runs
         trainer.train()
         assert trainer.cnt_update == 1
+
+
+class TestUncommittedCheckpointGuard:
+    def test_only_uncommitted_step_dirs_raise(self, tmp_path):
+        """A crash-truncated step dir (no auxiliary_data.json commit marker)
+        must never be silently restored by the latest-step fallback
+        (ADVICE round-2 #3)."""
+        import optax
+        import pytest
+
+        from intact_tpu.models.pi0.config import Pi0Config
+        from intact_tpu.models.pi0 import model as pi0
+        from intact_tpu.train.checkpoint import restore_train_state
+        from intact_tpu.train.train_step import init_train_state
+        import jax
+
+        cfg = Pi0Config.tiny()
+        params = pi0.init(jax.random.key(0), cfg)
+        state = init_train_state(params, optax.sgd(0.0))
+        # partial step dir: params item present, NO commit marker
+        (tmp_path / "step_5" / "params").mkdir(parents=True)
+        with pytest.raises(FileNotFoundError, match="uncommitted"):
+            restore_train_state(tmp_path, state)

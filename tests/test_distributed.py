@@ -1,0 +1,83 @@
+"""Multi-process execution of the distributed backend (VERDICT round-2
+next #4): two real OS processes rendezvous through
+`jax.distributed.initialize` (CPU backend) and exchange data via
+`process_mean` / `broadcast_from_host0` — the paths that replace the
+reference's NCCL process-group init (configuration_pipeline.py:160-172)
+and its all_reduce metric aggregation (trainer.py:453-460)."""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+_CHILD = r"""
+import json, os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("XLA_FLAGS", None)  # single local CPU device per process
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+from intact_tpu.parallel import distributed
+
+distributed.initialize()
+rank = jax.process_index()
+assert jax.process_count() == 2, jax.process_count()
+
+# cross-process metric mean: rank0 reports 1.0, rank1 reports 3.0
+mean = distributed.process_mean({"loss": 1.0 + 2.0 * rank, "acc": float(rank)})
+
+# host-0 broadcast: every process must end up with rank0's array
+got = distributed.broadcast_from_host0(np.full(3, 10.0 + rank, np.float32))
+
+print(json.dumps({
+    "rank": rank,
+    "mean": mean,
+    "broadcast": [float(x) for x in got],
+}), flush=True)
+"""
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.slow
+def test_two_process_initialize_mean_broadcast(tmp_path):
+    port = _free_port()
+    procs = []
+    for rank in range(2):
+        env = dict(os.environ)
+        env.update({
+            "COORDINATOR_ADDRESS": f"127.0.0.1:{port}",
+            "NUM_PROCESSES": "2",
+            "PROCESS_ID": str(rank),
+            "HF_HUB_OFFLINE": "1",
+            "PYTHONPATH": str(REPO),
+        })
+        # fresh interpreters: conftest's 8-device XLA_FLAGS and the axon
+        # platform pin must not leak into the children
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", _CHILD],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        ))
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=180)
+        assert p.returncode == 0, f"rank process failed:\n{err[-2000:]}"
+        outs.append(json.loads(out.strip().splitlines()[-1]))
+
+    by_rank = {o["rank"]: o for o in outs}
+    assert set(by_rank) == {0, 1}
+    for o in outs:
+        # mean over {1.0, 3.0} and {0.0, 1.0}, identical on every process
+        assert o["mean"] == {"acc": 0.5, "loss": 2.0}
+        # broadcast carries rank0's value everywhere
+        assert o["broadcast"] == [10.0, 10.0, 10.0]

@@ -199,3 +199,18 @@ class TestModifyRldsDataset:
         root, _ = tfds_dir
         with pytest.raises(KeyError, match="unknown mod"):
             modify_rlds_dataset(root, "bridge_dataset", tmp_path / "x", ["nope"])
+
+
+class TestNoTfdsFallback:
+    def test_unreadable_layout_raises_with_pointer(self, tmp_path):
+        """There is deliberately no tensorflow_datasets fallback (VERDICT
+        round-2 next #8): a native-reader failure surfaces as a RuntimeError
+        pointing at tfrecord_rlds / the npz converter, chained to the cause."""
+        ds_dir = tmp_path / "broken_dataset" / "1.0.0"
+        ds_dir.mkdir(parents=True)
+        (ds_dir / "dataset_info.json").write_text("not json {")
+        from intact_tpu.data.rlds import _episodes_from_tfds
+
+        with pytest.raises(RuntimeError, match="tfrecord_rlds") as ei:
+            _episodes_from_tfds("broken_dataset", str(tmp_path), "train", 1)
+        assert ei.value.__cause__ is not None
