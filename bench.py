@@ -162,6 +162,128 @@ def bench_train(args) -> int:
     return 0
 
 
+def bench_native_vla(args) -> int:
+    """Serving throughput for the native autoregressive VLAs (SpatialVLA-4B,
+    Magma-8B): one fused greedy decode per batch, ONE env action executed per
+    inference (SpatialVLA ensembles its chunk, reference simpler.py:492-519;
+    Magma de-discretizes 7 tokens, reference policy_wrapper.py:226-303).
+
+    Memory budget on one v5e (16 GB HBM): spatialvla_native is 3.04B params
+    (6.1 GB bf16 — fits); magma_native is 8.90B (17.8 GB bf16 — does NOT
+    fit), so magma defaults to --int8 (8.9 GB weights) on a single chip;
+    bf16 magma is a sharded (multi-chip) configuration.
+    """
+    import functools
+    import importlib
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from intact_tpu.utils.compile_cache import enable as enable_compile_cache
+
+    enable_compile_cache()
+
+    import numpy as np
+
+    from intact_tpu.models import registry as model_registry
+    from intact_tpu.models.common import (
+        DtypePolicy,
+        SERVING_POLICY,
+        quantize_params,
+    )
+    from intact_tpu.models.tokenizer import HashTokenizer
+
+    import jax.numpy as jnp
+
+    mtype = f"{args.model}_native" + ("_tiny" if args.tiny else "")
+    entry = model_registry.get(mtype)
+    mod = importlib.import_module(entry["module"])
+    cfg = entry["default_config"]()
+    policy = (
+        DtypePolicy(param_dtype=jnp.float32, compute_dtype=jnp.float32)
+        if args.cpu else SERVING_POLICY
+    )
+    int8 = args.int8
+    if args.model == "magma" and not args.cpu and not args.tiny and not int8:
+        print("# magma_native bf16 is 17.8 GB of weights — over one v5e's "
+              "HBM; forcing --int8 (use a sharded mesh for bf16)",
+              file=sys.stderr)
+        int8 = True
+
+    b = args.batch
+    dev = jax.devices()[0]
+    print(f"# device={dev} batch={b} model={mtype} int8={int8}", file=sys.stderr)
+
+    t0 = time.time()
+    init_fn = lambda k: jax.tree.map(  # noqa: E731
+        lambda x: x.astype(policy.param_dtype), mod.init(k, cfg)
+    )
+    if int8:
+        params = jax.jit(lambda k: quantize_params(init_fn(k)))(jax.random.key(0))
+    else:
+        params = jax.jit(init_fn)(jax.random.key(0))
+    # tiny-leaf readback: real completion barrier (tunnel quirk)
+    _small = min(jax.tree.leaves(params), key=lambda x: x.size)
+    _ = np.asarray(_small).ravel()[0]
+    print(f"# init {time.time()-t0:.1f}s", file=sys.stderr)
+
+    if args.model == "spatialvla":
+        tok = HashTokenizer(vocab_size=cfg.spatial_offset,
+                            max_length=cfg.tokenizer_max_length)
+        lang, mask = tok(["put the carrot on the plate"] * b,
+                         cfg.tokenizer_max_length)
+        s = cfg.vision.image_size
+        images = np.random.default_rng(0).uniform(
+            -1, 1, (b, s, s, 3)).astype(np.float32)
+        depth = np.asarray(mod.flat_depth(b, cfg), np.float32)
+        fn = jax.jit(functools.partial(
+            mod.predict_action_tokens, cfg=cfg, policy=policy))
+        call_args = (params, images, depth, lang, mask)
+    else:  # magma
+        tok = HashTokenizer(vocab_size=cfg.image_token_id,
+                            max_length=cfg.max_prompt_tokens)
+        tokens, masks = mod.build_prompt(
+            tok, ["put the carrot on the plate"] * b, cfg)
+        s = cfg.image_size
+        images = np.random.default_rng(0).normal(
+            size=(b, s, s, 3)).astype(np.float32)
+        fn = jax.jit(functools.partial(mod.generate, cfg=cfg, policy=policy))
+        call_args = (params, images, tokens, masks)
+
+    def run():
+        return np.asarray(fn(*call_args))
+
+    t0 = time.time()
+    run()
+    print(f"# compile+first {time.time()-t0:.1f}s", file=sys.stderr)
+    for _ in range(args.warmup):
+        run()
+    times = []
+    for _ in range(args.iters):
+        t0 = time.time()
+        run()
+        times.append(time.time() - t0)
+    t_med = sorted(times)[len(times) // 2]
+    # ONE env action per inference for both families (see docstring)
+    steps_per_sec = b / t_med
+    print(
+        f"# median inference {t_med*1e3:.1f} ms -> {steps_per_sec:.1f} policy "
+        f"steps/s (p50 per-action latency {t_med*1e3:.1f} ms)",
+        file=sys.stderr,
+    )
+    print(json.dumps({
+        "metric": f"{args.model}_native_policy_steps_per_sec_per_chip"
+                  + ("_int8" if int8 else ""),
+        "value": round(steps_per_sec, 2),
+        "unit": "policy_steps/s",
+        # no per-chip reference target for the baseline policies
+        "vs_baseline": None,
+    }))
+    return 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=None,
@@ -175,17 +297,31 @@ def main() -> int:
                     help="W8A8 dynamic-quant serving (block matmuls on the int8 MXU)")
     ap.add_argument("--mode", choices=["serve", "train"], default="serve",
                     help="train: expert-only fine-tune step throughput")
-    ap.add_argument("--model", choices=["pi0", "pi0fast", "mvla", "octo"],
+    ap.add_argument("--model",
+                    choices=["pi0", "pi0fast", "mvla", "octo",
+                             "spatialvla", "magma"],
                     default="pi0",
-                    help="model family (all share the sample_actions / "
-                         "compute_loss signatures)")
+                    help="model family (pi0/pi0fast/mvla/octo share the "
+                         "sample_actions / compute_loss signatures; "
+                         "spatialvla/magma bench their native AR decode)")
     args = ap.parse_args()
     if args.batch is None:
         # train default 48: with the frozen-prefix fast path (no VLM
         # backward) batch 48 fits the honest fine-tune policy and sits on
         # the throughput plateau (41.2/46.9/47.4 samples/s @ 12/48/64;
-        # 96 OOMs)
-        args.batch = 48 if args.mode == "train" else 64
+        # 96 OOMs). AR decode at 4-8B: batch 16 fits beside the KV cache.
+        if args.model in ("spatialvla", "magma"):
+            args.batch = 16
+        else:
+            args.batch = 48 if args.mode == "train" else 64
+    if args.model in ("spatialvla", "magma"):
+        if args.mode == "train":
+            print("train bench covers the trained families "
+                  "(pi0/pi0fast/mvla/octo); spatialvla/magma are "
+                  "serving-only baselines (reference run.py:24-56)",
+                  file=sys.stderr)
+            return 2
+        return bench_native_vla(args)
     if args.mode == "train":
         return bench_train(args)
 

@@ -1,12 +1,17 @@
 """Action-chunk parity gate (BASELINE.md: MSE < 1e-3 vs the released
 INTACT-pi0-finetune-bridge outputs).
 
-Two roles:
+Three roles:
   record   run OUR policy on a fixture's inputs and store its action chunks
            (also usable to snapshot-regress our own checkpoints);
   compare  run OUR policy on the fixture's inputs and score MSE against the
            fixture's stored reference actions (recorded from the torch
-           reference via scripts in its repo, or from a previous `record`).
+           reference via scripts in its repo, or from a previous `record`);
+  int8     run the SAME fixture inputs (shared denoise noise) through the
+           bf16 path and the W8A8 int8 path and score int8-vs-bf16 chunk
+           MSE + mean relative deviation against a stated budget — the
+           automated acceptance gate for serving int8 (VERDICT round-2
+           next #5): a recorded pass/fail decision, not a README caveat.
 
 Fixture format (single .npz):
   images          float32 [N, K, H, W, 3] in [-1, 1]
@@ -37,10 +42,16 @@ REPO = Path(__file__).resolve().parent.parent.parent
 sys.path.insert(0, str(REPO))
 
 MSE_GATE = 1e-3
+# int8-vs-bf16 budget: actions are normalized (|a| <~ 1); W8A8 noise across
+# prefill + 10 Euler steps stays well under this on the bridge operating
+# point, while a broken quantization path (wrong scales, clipped channels)
+# lands orders of magnitude above it
+INT8_MSE_GATE = 5e-3
+INT8_REL_GATE = 0.10
 
 
 def run_policy(fix: dict, checkpoint: str | None, model_type: str,
-               use_bf16: bool) -> np.ndarray:
+               use_bf16: bool, quantize: bool = False) -> np.ndarray:
     import jax
     import jax.numpy as jnp
 
@@ -73,6 +84,8 @@ def run_policy(fix: dict, checkpoint: str | None, model_type: str,
         params = jax.jit(lambda k: jax.tree.map(
             lambda x: x.astype(policy.param_dtype), model.init(k, cfg)
         ))(jax.random.key(0))
+    if quantize:
+        params = jax.jit(cm.quantize_params)(params)
 
     images = jnp.asarray(fix["images"])
     b = images.shape[0]
@@ -93,17 +106,51 @@ def run_policy(fix: dict, checkpoint: str | None, model_type: str,
     return np.asarray(actions, np.float32)
 
 
+def score_int8(fix: dict, checkpoint: str | None, model_type: str,
+               mse_gate: float = INT8_MSE_GATE,
+               rel_gate: float = INT8_REL_GATE) -> dict:
+    """int8-vs-bf16 on identical inputs + shared noise -> gated verdict."""
+    if "noise" not in fix:
+        raise SystemExit(
+            "int8: fixture must carry shared 'noise' so the two precisions "
+            "denoise from the same start (make_fixture adds it)"
+        )
+    ref = run_policy(fix, checkpoint, model_type, use_bf16=True)
+    q = run_policy(fix, checkpoint, model_type, use_bf16=True, quantize=True)
+    mse = float(((q - ref) ** 2).mean())
+    rel = float(
+        (np.abs(q - ref) / (np.abs(ref) + 1e-6)).mean()
+    )
+    return {
+        "metric": "pi0_int8_vs_bf16_chunk_deviation",
+        "mse": mse,
+        "mean_relative_deviation": rel,
+        "mse_gate": mse_gate,
+        "rel_gate": rel_gate,
+        "pass": mse < mse_gate and rel < rel_gate,
+    }
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("role", choices=["record", "compare"])
+    ap.add_argument("role", choices=["record", "compare", "int8"])
     ap.add_argument("--fixture", required=True)
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--model", default="pi0")
     ap.add_argument("--out", default=None, help="record: output npz")
     ap.add_argument("--fp32", action="store_true")
+    ap.add_argument("--int8-mse-gate", type=float, default=INT8_MSE_GATE)
+    ap.add_argument("--int8-rel-gate", type=float, default=INT8_REL_GATE)
     args = ap.parse_args()
 
     fix = dict(np.load(args.fixture, allow_pickle=False))
+
+    if args.role == "int8":
+        result = score_int8(fix, args.checkpoint, args.model,
+                            args.int8_mse_gate, args.int8_rel_gate)
+        print(json.dumps(result))
+        return 0 if result["pass"] else 1
+
     ours = run_policy(fix, args.checkpoint, args.model, use_bf16=not args.fp32)
 
     if args.role == "record":

@@ -108,6 +108,41 @@ class TestActionParityCLI:
         mse = float(((again - ours) ** 2).mean())
         assert mse < mod.MSE_GATE
 
+    def test_int8_gate_scores_and_passes_at_tiny_scale(self):
+        """The automated int8 acceptance gate (VERDICT round-2 next #5):
+        int8-vs-bf16 on shared noise scores MSE + relative deviation and
+        passes the stated budget at tiny scale; an intentionally absurd
+        budget fails it (the gate actually gates)."""
+        import importlib.util
+        from pathlib import Path
+
+        import numpy as np
+
+        spec = importlib.util.spec_from_file_location(
+            "action_parity",
+            str(Path(__file__).parent.parent / "scripts/eval/action_parity.py"),
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+
+        rng = np.random.default_rng(1)
+        from intact_tpu.models.pi0.config import Pi0Config
+
+        cfg = Pi0Config.tiny()
+        s = cfg.vision.image_size
+        fix = {
+            "images": rng.uniform(-1, 1, (2, 1, s, s, 3)).astype(np.float32),
+            "state": rng.normal(size=(2, 7)).astype(np.float32),
+            "lang_tokens": rng.integers(0, 100, (2, cfg.tokenizer_max_length)).astype(np.int32),
+            "lang_masks": np.ones((2, cfg.tokenizer_max_length), bool),
+            "noise": rng.normal(size=(2, cfg.chunk_size, cfg.max_action_dim)).astype(np.float32),
+        }
+        result = mod.score_int8(fix, None, "pi0_tiny")
+        assert result["mse"] > 0  # int8 must actually differ from bf16
+        assert result["pass"], result
+        strict = mod.score_int8(fix, None, "pi0_tiny", mse_gate=1e-12, rel_gate=1e-12)
+        assert not strict["pass"]
+
 
 class TestPrefetchIterator:
     def test_order_and_prepare(self):
