@@ -147,6 +147,10 @@ class EvalConfig:
     max_batch_size: int = 64
     batch_timeout_ms: float = 5.0
     prewarm: bool = True  # compile every fused-batch bucket before serving
+    # W8A8 int8 serving (+40% throughput on v5e). Acceptance is gated:
+    # run `scripts/eval/action_parity.py int8` against the served
+    # checkpoint before enabling in production (doc/parity.md §6)
+    quantize_int8: bool = False
     # derived (set in TrainPipelineConfig.finalize)
     env_adapter_path: str | None = None
     simulator_path: str | None = None

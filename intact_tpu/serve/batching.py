@@ -33,6 +33,7 @@ from __future__ import annotations
 import asyncio
 import concurrent.futures
 import logging
+import os
 import traceback
 
 import websockets.asyncio.server
@@ -77,6 +78,14 @@ class BatchingPolicyServer:
         # (the default executor has many threads and would interleave them)
         self._device_executor = concurrent.futures.ThreadPoolExecutor(
             max_workers=1, thread_name_prefix="device"
+        )
+        # host-side preprocess (cv2 resize, normalization) runs OFF the
+        # event loop so one connection's image work never stalls frame
+        # handling for the others; per-connection ordering is preserved
+        # because each handler awaits its own preprocess before queueing
+        self._prep_executor = concurrent.futures.ThreadPoolExecutor(
+            max_workers=max(2, (os.cpu_count() or 1)),
+            thread_name_prefix="prep",
         )
         self.logger = setup_logger(True, name="batching_server")
         self.logger.setLevel(logging.INFO)
@@ -197,7 +206,9 @@ class BatchingPolicyServer:
                     await websocket.send(packer.pack({"status": "reset"}))
                     continue
 
-                inputs = session.preprocess(obs)
+                inputs = await loop.run_in_executor(
+                    self._prep_executor, session.preprocess, obs
+                )
                 future = loop.create_future()
                 await self._queue.put(_Request(inputs, session, future))
                 action = await future

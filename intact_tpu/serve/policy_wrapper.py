@@ -191,6 +191,7 @@ class Pi0PolicyWrapper(BasePolicyWrapper):
             model_module=model_module,
             tokenizer_path=config.resolve_tokenizer_path(),
             mesh=mesh,
+            quantize=getattr(config.eval_cfg, "quantize_int8", False),
         )
         path = config.eval_cfg.pretrained_model_path
         if path:
@@ -669,7 +670,13 @@ class MagmaNativePolicyWrapper(BasePolicyWrapper):
     """Fully native Magma path: ConvNeXt + projector + LLaMA-3 decode as ONE
     XLA program (models/magma), replacing the reference's torch
     `generate(use_cache=False)` Python loop (policy_wrapper.py:226-303).
-    Checkpoints: HF safetensors snapshot (imported) or Orbax step dirs."""
+    Checkpoints: HF safetensors snapshot (imported) or Orbax step dirs.
+
+    Memory: Magma-8B is 17.8 GB of bf16 weights — over one v5e's HBM. The
+    single-chip mode is int8 (bench.py --model magma); bf16 serving runs
+    SHARDED: on a multi-device host the params spread over the configured
+    (data, fsdp, tensor) mesh via the family-generic sharding rules
+    (parallel/sharding.py) and inference batches shard over (data, fsdp)."""
 
     session_cls = MagmaSession
 
@@ -688,10 +695,32 @@ class MagmaNativePolicyWrapper(BasePolicyWrapper):
         self._magma, self._jax = magma, jax
         policy = SERVING_POLICY if config.use_bf16 else DEFAULT_POLICY
         self._policy = policy
+        self.mesh = None
+        self._shardings = None
+        self._batch_sharding = None
+        if jax.device_count() > 1:
+            from intact_tpu.parallel import MeshConfig, make_mesh
+            from intact_tpu.parallel.sharding import (
+                batch_sharding,
+                param_shardings,
+            )
+
+            m = config.mesh
+            self.mesh = make_mesh(MeshConfig(m.data, m.fsdp, m.tensor))
+            template = jax.eval_shape(
+                lambda k: jax.tree.map(
+                    lambda x: jax.ShapeDtypeStruct(x.shape, policy.param_dtype),
+                    magma.init(k, cfg),
+                ),
+                jax.random.key(config.seed),
+            )
+            self._shardings = param_shardings(template, self.mesh)
+            self._batch_sharding = batch_sharding(self.mesh)
         self.params = jax.jit(
             lambda k: jax.tree.map(
                 lambda x: x.astype(policy.param_dtype), magma.init(k, cfg)
-            )
+            ),
+            out_shardings=self._shardings,
         )(jax.random.key(config.seed))
         # Magma tokenizes with the LLaMA-3 tokenizer; explicit asset or the
         # hermetic hash fallback (make_tokenizer warns loudly). The hash
@@ -718,13 +747,25 @@ class MagmaNativePolicyWrapper(BasePolicyWrapper):
             )
         ):
             raw = self._magma.load_magma_checkpoint(new_model_path, self.model_cfg)
-            self.params = self._jax.tree.map(
-                lambda x: self._jax.numpy.asarray(x, self._policy.param_dtype), raw
-            )
+            if self._shardings is not None:
+                # host arrays -> sharded device buffers (each device gets
+                # only its shard; an unsharded put of 17.8 GB would OOM)
+                self.params = self._jax.tree.map(
+                    lambda x, s: self._jax.device_put(
+                        self._jax.numpy.asarray(x, self._policy.param_dtype), s
+                    ),
+                    raw, self._shardings,
+                )
+            else:
+                self.params = self._jax.tree.map(
+                    lambda x: self._jax.numpy.asarray(x, self._policy.param_dtype), raw
+                )
         else:
             from intact_tpu.train import checkpoint as ckpt_lib
 
-            self.params = ckpt_lib.restore_params(new_model_path, self.params)
+            self.params = ckpt_lib.restore_params(
+                new_model_path, self.params, self._shardings
+            )
         self.env_adapter.reset()
 
     def warmup_inputs(self) -> dict:
@@ -744,13 +785,24 @@ class MagmaNativePolicyWrapper(BasePolicyWrapper):
 
         cfg = self.model_cfg
         n = len(items)
-        pad = self.bucket_size(n) - n
+        target = self.bucket_size(n)
+        if self.mesh is not None:
+            # the fused batch must divide over the (data, fsdp) axes
+            div = self.mesh.shape["data"] * self.mesh.shape["fsdp"]
+            target = target + (-target) % div
+        pad = target - n
         images = np.concatenate([it[0]["image"] for it in items])
         tasks = [it[0]["task"][0] for it in items]
         if pad:
             images = np.concatenate([images, np.repeat(images[-1:], pad, axis=0)])
             tasks = tasks + [tasks[-1]] * pad
         tokens, masks = self._magma.build_prompt(self.tokenizer, tasks, cfg)
+        if self._batch_sharding is not None:
+            jax = self._jax
+            images, tokens, masks = (
+                jax.device_put(jax.numpy.asarray(x), self._batch_sharding)
+                for x in (images, tokens, masks)
+            )
         out_ids = np.asarray(self._generate(self.params, images, tokens, masks))
 
         out = []
