@@ -82,10 +82,20 @@ class BatchingPolicyServer:
         # host-side preprocess (cv2 resize, normalization) runs OFF the
         # event loop so one connection's image work never stalls frame
         # handling for the others; per-connection ordering is preserved
-        # because each handler awaits its own preprocess before queueing
-        self._prep_executor = concurrent.futures.ThreadPoolExecutor(
-            max_workers=max(2, (os.cpu_count() or 1)),
-            thread_name_prefix="prep",
+        # because each handler awaits its own preprocess before queueing.
+        # On hosts WITHOUT real parallelism the hop is pure overhead
+        # (measured 78 vs 150 aggregate steps/s on a 1-core box), so it
+        # only engages when there are cores to use; INTACT_TPU_PREP_THREADS
+        # overrides (0 = always inline).
+        n_prep = os.environ.get("INTACT_TPU_PREP_THREADS")
+        n_prep = int(n_prep) if n_prep is not None else (
+            (os.cpu_count() or 1) if (os.cpu_count() or 1) >= 4 else 0
+        )
+        self._prep_executor = (
+            concurrent.futures.ThreadPoolExecutor(
+                max_workers=n_prep, thread_name_prefix="prep"
+            )
+            if n_prep > 0 else None
         )
         self.logger = setup_logger(True, name="batching_server")
         self.logger.setLevel(logging.INFO)
@@ -206,9 +216,12 @@ class BatchingPolicyServer:
                     await websocket.send(packer.pack({"status": "reset"}))
                     continue
 
-                inputs = await loop.run_in_executor(
-                    self._prep_executor, session.preprocess, obs
-                )
+                if self._prep_executor is not None:
+                    inputs = await loop.run_in_executor(
+                        self._prep_executor, session.preprocess, obs
+                    )
+                else:
+                    inputs = session.preprocess(obs)
                 future = loop.create_future()
                 await self._queue.put(_Request(inputs, session, future))
                 action = await future
