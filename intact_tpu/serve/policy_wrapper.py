@@ -560,10 +560,34 @@ class SpatialVLANativePolicyWrapper(BasePolicyWrapper):
         self._svla, self._jax = svla, jax
         policy = SERVING_POLICY if config.use_bf16 else DEFAULT_POLICY
         self._policy = policy
+        # multi-chip host: shard params over the configured mesh and fused
+        # batches over (data, fsdp) — same scheme as Pi0Policy/Magma
+        self.mesh = None
+        self._shardings = None
+        self._batch_sharding = None
+        if jax.device_count() > 1:
+            from intact_tpu.parallel import MeshConfig, make_mesh
+            from intact_tpu.parallel.sharding import (
+                batch_sharding,
+                param_shardings,
+            )
+
+            m = config.mesh
+            self.mesh = make_mesh(MeshConfig(m.data, m.fsdp, m.tensor))
+            template = jax.eval_shape(
+                lambda k: jax.tree.map(
+                    lambda x: jax.ShapeDtypeStruct(x.shape, policy.param_dtype),
+                    svla.init(k, cfg),
+                ),
+                jax.random.key(config.seed),
+            )
+            self._shardings = param_shardings(template, self.mesh)
+            self._batch_sharding = batch_sharding(self.mesh)
         self.params = jax.jit(
             lambda k: jax.tree.map(
                 lambda x: x.astype(policy.param_dtype), svla.init(k, cfg)
-            )
+            ),
+            out_shardings=self._shardings,
         )(jax.random.key(config.seed))
         # PaliGemma2 tokenizer asset (spatial tokens appended at the tail);
         # hermetic hash fallback when unconfigured
@@ -588,13 +612,23 @@ class SpatialVLANativePolicyWrapper(BasePolicyWrapper):
             )
         ):
             raw = self._svla.load_spatialvla_checkpoint(new_model_path, self.model_cfg)
-            self.params = self._jax.tree.map(
-                lambda x: self._jax.numpy.asarray(x, self._policy.param_dtype), raw
-            )
+            if self._shardings is not None:
+                self.params = self._jax.tree.map(
+                    lambda x, s: self._jax.device_put(
+                        self._jax.numpy.asarray(x, self._policy.param_dtype), s
+                    ),
+                    raw, self._shardings,
+                )
+            else:
+                self.params = self._jax.tree.map(
+                    lambda x: self._jax.numpy.asarray(x, self._policy.param_dtype), raw
+                )
         else:
             from intact_tpu.train import checkpoint as ckpt_lib
 
-            self.params = ckpt_lib.restore_params(new_model_path, self.params)
+            self.params = ckpt_lib.restore_params(
+                new_model_path, self.params, self._shardings
+            )
         self.reset()
 
     def warmup_inputs(self) -> dict:
@@ -611,17 +645,31 @@ class SpatialVLANativePolicyWrapper(BasePolicyWrapper):
         decode + per-session ensembling + postprocess."""
         cfg = self.model_cfg
         n = len(items)
-        pad = self.bucket_size(n) - n
+        target = self.bucket_size(n)
+        if self.mesh is not None:
+            # the fused batch must divide over the (data, fsdp) axes
+            div = self.mesh.shape["data"] * self.mesh.shape["fsdp"]
+            target = target + (-target) % div
+        pad = target - n
 
         def fused(key):
             arr = np.concatenate([it[0][key] for it in items])
             if pad:
                 arr = np.concatenate([arr, np.repeat(arr[-1:], pad, axis=0)])
+            if self._batch_sharding is not None:
+                arr = self._jax.device_put(
+                    self._jax.numpy.asarray(arr), self._batch_sharding
+                )
             return arr
 
         tasks = [it[0]["task"][0] for it in items]
         tasks = tasks + [tasks[-1]] * pad
         lang_tokens, lang_masks = self.tokenizer(tasks, cfg.tokenizer_max_length)
+        if self._batch_sharding is not None:
+            lang_tokens, lang_masks = (
+                self._jax.device_put(self._jax.numpy.asarray(x), self._batch_sharding)
+                for x in (lang_tokens, lang_masks)
+            )
         ids = np.asarray(self._predict(
             self.params, fused("image"), fused("depth"), lang_tokens, lang_masks
         ))

@@ -364,3 +364,75 @@ class TestShardedMagmaServing:
             for a, b in zip(out_s, out_p):
                 assert not isinstance(a, Exception), a
                 np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+class TestShardedSpatialVLAServing:
+    def test_spatialvla_wrapper_on_mesh_matches_single_device(self):
+        """SpatialVLA-4B serving shards like Magma (params over the mesh,
+        fused batch over (data, fsdp)) for v5e-8 throughput scaling; the
+        sharded spatial-token decode must match single-device."""
+        from pathlib import Path
+
+        from intact_tpu.config.pipeline import (
+            EnvConfig,
+            EvalConfig,
+            TrainPipelineConfig,
+        )
+        from intact_tpu.serve.policy_wrapper import SpatialVLANativePolicyWrapper
+
+        repo = Path(__file__).resolve().parent.parent
+        cfg = TrainPipelineConfig(
+            name="sharded_svla",
+            model_cfg={"type": "spatialvla_native_tiny"},
+            use_bf16=False,
+            eval_cfg=EvalConfig(
+                simulator_name="simpler",
+                env_adapter="BridgeSimplerAdapter",
+                recording=False,
+                action_step=4,
+                max_batch_size=8,
+            ),
+            env=EnvConfig(
+                dataset_statistics_path=str(
+                    repo / "config/dataset/bridge_statistics.json"
+                ),
+                image_size=(28, 28),
+            ),
+        )
+        cfg.mesh.data, cfg.mesh.fsdp, cfg.mesh.tensor = 2, 2, 2
+        wrapper = SpatialVLANativePolicyWrapper(cfg)
+        assert wrapper.mesh is not None
+        q = wrapper.params["lm"]["blocks"]["attn"]["q"]["kernel"]
+        assert len(q.sharding.device_set) > 1
+
+        import unittest.mock as mock
+
+        import jax as _jax
+
+        plain = SpatialVLANativePolicyWrapper.__new__(SpatialVLANativePolicyWrapper)
+        with mock.patch.object(_jax, "device_count", return_value=1):
+            plain.__init__(cfg)
+        assert plain.mesh is None
+
+        rng = np.random.default_rng(0)
+        obs = {
+            "observation.images.top": rng.integers(
+                0, 255, (64, 64, 3), dtype=np.uint8
+            ),
+            "observation.state": {
+                "agent": {"eef_pos": np.array([0.1, 0.2, 0.3, 1.0, 0, 0, 0, 0.8])}
+            },
+            "task": "put the carrot on the plate",
+        }
+        for n in (1, 3):
+            out_s = wrapper.infer_batch(
+                [(wrapper.new_session().preprocess(obs), wrapper.new_session())
+                 for _ in range(n)]
+            )
+            out_p = plain.infer_batch(
+                [(plain.new_session().preprocess(obs), plain.new_session())
+                 for _ in range(n)]
+            )
+            for a, b in zip(out_s, out_p):
+                assert not isinstance(a, Exception), a
+                np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
