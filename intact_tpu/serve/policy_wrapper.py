@@ -877,6 +877,10 @@ def make_policy_wrapper(config):
         "pi0_tiny": Pi0PolicyWrapper,
         "mvla": Pi0PolicyWrapper,
         "mvla_tiny": Pi0PolicyWrapper,
+        "mmmvla": Pi0PolicyWrapper,
+        "mmmvla_tiny": Pi0PolicyWrapper,
+        "pi0fast": Pi0PolicyWrapper,
+        "pi0fast_tiny": Pi0PolicyWrapper,
         "octo": OctoPolicyWrapper,
         "octo_tiny": OctoPolicyWrapper,
         "octo_small_upstream": OctoPolicyWrapper,
