@@ -164,3 +164,45 @@ class TestBatchedAndLiberoEvaluators:
         )
         results = ev.evaluate()
         assert results["libero_spatial"]["Success Rate"] == 1.0
+
+
+@pytest.mark.slow
+class TestMS3ThroughBatchingServer:
+    def test_ms3_vectorized_client_through_batching_server(self, tmp_path, monkeypatch):
+        """A vectorized ManiSkill3 client (multi-row requests) drives the
+        CONTINUOUS-BATCHING server: rows fuse alongside the bucket padding
+        and scatter back per request (round-3 unified infer_batch)."""
+        monkeypatch.setenv("VLA_LOG_DIR", str(tmp_path))
+        from intact_tpu.serve.batching import BatchingPolicyServer
+        from intact_tpu.serve.policy_wrapper import Pi0PolicyWrapper
+        from intact_tpu.envs.evaluators.simplerMS3 import SimplerMS3Evaluator
+
+        cfg = make_cfg(port=18633)
+        cfg.eval_cfg.simulator_name = "simplerMS3"
+        cfg.eval_cfg.env_adapter = "BatchBridgeSimplerAdapter"
+        cfg.eval_cfg.n_parallel_eval = 2
+        cfg.eval_cfg.n_eval_episode = 2
+        cfg.eval_cfg.max_batch_size = 4
+        cfg.finalize()
+        wrapper = Pi0PolicyWrapper(cfg)
+        server = BatchingPolicyServer(
+            wrapper, cfg, host="127.0.0.1", port=18633,
+            metadata={"model": "pi0_tiny"}, max_batch_size=4,
+            batch_timeout_ms=10, prewarm=False,
+        )
+        start_server_thread(server.serve_forever)
+
+        client_cfg = make_cfg(port=18633)
+        client_cfg.eval_cfg.simulator_name = "simplerMS3"
+        client_cfg.eval_cfg.env_adapter = "BatchBridgeSimplerAdapter"
+        client_cfg.eval_cfg.n_parallel_eval = 2
+        client_cfg.eval_cfg.n_eval_episode = 2
+        client_cfg.eval_cfg.role = "client"
+        client_cfg.finalize()
+        ev = SimplerMS3Evaluator(
+            client_cfg, env_factory=lambda t, n, s: FakeMS3Env(n),
+            image_getter=fake_ms3_image_getter,
+        )
+        results = ev.evaluate()
+        task = results["widowx_carrot_on_plate"]
+        assert task["Move Correct"] == 1.0
