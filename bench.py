@@ -177,7 +177,7 @@ def _streamed_quantized_init(mod, cfg, policy, key):
     import functools
 
     template = jax.eval_shape(lambda k: mod.init(k, cfg), key)
-    pattern = re.compile(r".*(blocks/(attn|mlp)/[a-z0-9_]+|img_proj)$")
+    pattern = re.compile(cm.QUANTIZE_DEFAULT_PATTERN)
     counter = [0]
 
     # single jitted helpers with static shape args: leaves sharing a shape

@@ -129,16 +129,21 @@ def quantize_dense(p: Params) -> Params:
     return out
 
 
+# the default int8 coverage: every kernel under a "blocks" subtree plus the
+# multimodal projector — heads/embeddings/norms stay fp. Shared with the
+# bench's streamed init so benched int8 matches production int8.
+QUANTIZE_DEFAULT_PATTERN = r".*(blocks/(attn|mlp)/[a-z0-9_]+|img_proj)$"
+
+
 def quantize_params(params: Params, path_filter=None) -> Params:
     """Quantize the FLOP-heavy kernels (transformer block matmuls) to int8.
 
     path_filter(path_str) -> bool selects which dense params quantize;
-    default: every kernel under a "blocks" subtree plus the multimodal
-    projector — heads/embeddings/norms stay fp.
+    default: QUANTIZE_DEFAULT_PATTERN.
     """
     import re
 
-    default = re.compile(r".*(blocks/(attn|mlp)/[a-z0-9_]+|img_proj)$")
+    default = re.compile(QUANTIZE_DEFAULT_PATTERN)
 
     def walk(node, path=""):
         if isinstance(node, dict):

@@ -82,15 +82,27 @@ class BasePolicyWrapper:
         )
 
     def bucket_size(self, n: int) -> int:
-        """Fused device batches pad to power-of-two buckets (capped at
-        eval_cfg.max_batch_size) so the jitted sample path compiles a bounded
-        set of shapes instead of one per arrival pattern."""
+        """Fused device batches pad to power-of-two buckets, capped at
+        eval_cfg.max_batch_size, so the jitted sample path compiles a
+        bounded set of shapes instead of one per arrival pattern. Row
+        counts beyond max_batch (vectorized clients) are served by
+        SPLITTING the device call (see Pi0PolicyWrapper.infer_batch), never
+        by compiling an unbounded shape."""
         b = 1
         while b < n:
             b *= 2
-        if n <= self.config.eval_cfg.max_batch_size:
-            b = min(b, self.config.eval_cfg.max_batch_size)
-        return b
+        return min(b, self.config.eval_cfg.max_batch_size)
+
+    def effective_fused_size(self, n: int) -> int:
+        """The device batch a fuse of n rows actually compiles — bucket
+        padding plus any mesh-divisor rounding. Used by prewarm to dedupe
+        shapes and by the fuse implementations."""
+        target = self.bucket_size(n)
+        mesh = getattr(self, "mesh", None)
+        if mesh is not None:
+            div = mesh.shape["data"] * mesh.shape["fsdp"]
+            target = target + (-target) % div
+        return target
 
     def bucket_sizes(self) -> list[int]:
         sizes, b = [], 1
@@ -124,10 +136,16 @@ class BasePolicyWrapper:
         raise NotImplementedError
 
     def prewarm(self) -> None:
-        """Compile every fused-batch bucket (one dummy inference per bucket)
-        so a ramping client fleet never pays a compile mid-traffic."""
+        """Compile every fused-batch bucket (one dummy inference per
+        DISTINCT device shape) so a ramping client fleet never pays a
+        compile mid-traffic. Buckets that round to the same effective
+        device batch (mesh-divisor padding) compile once."""
         session = self.new_session()
+        seen: set[int] = set()
         for b in self.bucket_sizes():
+            if self.effective_fused_size(b) in seen:
+                continue
+            seen.add(self.effective_fused_size(b))
             try:
                 inputs = self.warmup_inputs()
             except NotImplementedError:
@@ -218,22 +236,35 @@ class Pi0PolicyWrapper(BasePolicyWrapper):
         }
 
     def infer_batch(self, items):
-        """Fuse N requests' {image, state, task} into ONE bucketed
-        sample_action_chunk call, then scatter per-item postprocess.
-        Requests may carry >1 row each (vectorized ManiSkill3 adapters)."""
+        """Fuse N requests' {image, state, task} into bucketed
+        sample_action_chunk calls, then scatter per-item postprocess.
+        Requests may carry >1 row each (vectorized ManiSkill3 adapters);
+        row totals beyond max_batch_size run as multiple max_batch-sized
+        device calls, so the compiled-shape set stays bounded no matter how
+        wide a client's request is."""
         rows = [it[0]["image"].shape[0] for it in items]
         n = sum(rows)
-        pad = self.bucket_size(n) - n
         imgs = np.concatenate([it[0]["image"] for it in items])
         states = np.concatenate([it[0]["state"] for it in items])
         tasks = [t for it in items for t in it[0]["task"]]
-        if pad:  # replicate the last row up to the bucket boundary
-            imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad, axis=0)])
-            states = np.concatenate([states, np.repeat(states[-1:], pad, axis=0)])
-            tasks = tasks + [tasks[-1]] * pad
-        chunks = self.policy.sample_action_chunk(
-            {"image": imgs, "state": states, "task": tasks}
-        )  # [bucket, chunk, max_action_dim]
+
+        max_b = max(int(self.config.eval_cfg.max_batch_size), 1)
+        parts = []
+        for start in range(0, n, max_b):
+            stop = min(start + max_b, n)
+            m = stop - start
+            pad = self.bucket_size(m) - m
+            ci, cs = imgs[start:stop], states[start:stop]
+            ct = tasks[start:stop]
+            if pad:  # replicate the last row up to the bucket boundary
+                ci = np.concatenate([ci, np.repeat(ci[-1:], pad, axis=0)])
+                cs = np.concatenate([cs, np.repeat(cs[-1:], pad, axis=0)])
+                ct = ct + [ct[-1]] * pad
+            parts.append(self.policy.sample_action_chunk(
+                {"image": ci, "state": cs, "task": ct}
+            )[:m])
+        chunks = parts[0] if len(parts) == 1 else np.concatenate(parts)
+        # [n, chunk, max_action_dim]
 
         out, offset = [], 0
         for (inputs, session), r in zip(items, rows):
@@ -264,6 +295,14 @@ class OctoSession(PolicySession):
     def preprocess(self, obs: dict) -> dict:
         cfg = self.wrapper.model_cfg
         inputs = self.adapter.preprocess(obs)
+        if inputs["image"].shape[0] != 1:
+            # history is a single-episode deque; silently folding an N-env
+            # vectorized request into it would return wrong actions for
+            # envs 1..N-1
+            raise ValueError(
+                f"octo serving is single-env per connection; adapter "
+                f"produced a {inputs['image'].shape[0]}-row request"
+            )
         got = inputs["image"].shape[1:3]
         if got != (cfg.image_size, cfg.image_size):
             # the adapter owns the (fidelity-critical, upstream-matching)
@@ -373,7 +412,7 @@ class OctoPolicyWrapper(BasePolicyWrapper):
         jnp, jax = self._jnp, self._jax
         cfg = self.model_cfg
         n = len(items)
-        pad = self.bucket_size(n) - n
+        pad = self.effective_fused_size(n) - n
 
         def fused(key):
             arr = np.concatenate([it[0][key] for it in items])
@@ -504,6 +543,13 @@ class SpatialVLASession(PolicySession):
         wrapper = self.wrapper
         cfg = wrapper.model_cfg
         inputs = self.adapter.preprocess(obs)
+        if inputs["image"].shape[0] != 1:
+            # the chunk ensembler is single-episode state; N-env vectorized
+            # requests are not meaningful through it
+            raise ValueError(
+                f"spatialvla serving is single-env per connection; adapter "
+                f"produced a {inputs['image'].shape[0]}-row request"
+            )
         image = np.asarray(inputs["image"], np.float32)  # [1, H, W, 3] in [-1,1]
         s = cfg.vision.image_size
         if image.shape[1] != s or image.shape[2] != s:
@@ -645,12 +691,7 @@ class SpatialVLANativePolicyWrapper(BasePolicyWrapper):
         decode + per-session ensembling + postprocess."""
         cfg = self.model_cfg
         n = len(items)
-        target = self.bucket_size(n)
-        if self.mesh is not None:
-            # the fused batch must divide over the (data, fsdp) axes
-            div = self.mesh.shape["data"] * self.mesh.shape["fsdp"]
-            target = target + (-target) % div
-        pad = target - n
+        pad = self.effective_fused_size(n) - n
 
         def fused(key):
             arr = np.concatenate([it[0][key] for it in items])
@@ -700,6 +741,11 @@ class MagmaSession(PolicySession):
         import cv2
 
         inputs = self.adapter.preprocess(obs)
+        if inputs["image"].shape[0] != 1:
+            raise ValueError(
+                f"magma serving is single-env per connection; adapter "
+                f"produced a {inputs['image'].shape[0]}-row request"
+            )
         s = self.wrapper.model_cfg.image_size
         # adapter output [B, H, W, 3] in [-1, 1] -> CLIP floats at native res
         pix01 = (np.asarray(inputs["image"], np.float32) + 1.0) / 2.0
@@ -833,12 +879,7 @@ class MagmaNativePolicyWrapper(BasePolicyWrapper):
 
         cfg = self.model_cfg
         n = len(items)
-        target = self.bucket_size(n)
-        if self.mesh is not None:
-            # the fused batch must divide over the (data, fsdp) axes
-            div = self.mesh.shape["data"] * self.mesh.shape["fsdp"]
-            target = target + (-target) % div
-        pad = target - n
+        pad = self.effective_fused_size(n) - n
         images = np.concatenate([it[0]["image"] for it in items])
         tasks = [it[0]["task"][0] for it in items]
         if pad:

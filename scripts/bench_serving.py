@@ -74,11 +74,22 @@ def main() -> int:
         "octo": "OctoBridgeSimplerAdapter",
         "spatialvla": "BridgeSimplerAdapter", "magma": "BridgeSimplerAdapter",
     }
+    if args.int8 and args.model not in ("pi0", "mvla"):
+        # validate BEFORE the (potentially minutes-long) model build
+        print("--int8 is wired for the pi0/mvla serving path only",
+              file=sys.stderr)
+        return 2
+
     mtype = model_types[args.model] + ("_tiny" if args.tiny else "")
-    if args.tiny and args.model in ("octo",):
-        mtype = "octo_tiny"
-    # octo mimics the upstream 256px eval preprocessing; the rest serve 224
-    full_hw = 256 if args.model == "octo" else 224
+    if args.model == "octo":
+        # the adapter must resize to the model's input size exactly (the
+        # OctoSession guard rejects mismatches): take it from the config
+        from intact_tpu.models import registry
+
+        s = registry.get(mtype)["default_config"]().image_size
+        hw = (s, s)
+    else:
+        hw = (28, 28) if args.tiny else (224, 224)
     cfg = TrainPipelineConfig(
         name="bench_serving",
         model_cfg={"type": mtype},
@@ -92,25 +103,19 @@ def main() -> int:
             action_step=4,
             max_batch_size=args.max_batch,
             batch_timeout_ms=args.timeout_ms,
+            # the production int8 path: Pi0Policy quantizes at init and
+            # re-quantizes on every hot swap (a raw params overwrite here
+            # would silently lose int8 across switch_model)
+            quantize_int8=args.int8,
         ),
         env=EnvConfig(
             dataset_statistics_path=str(REPO / "config/dataset/bridge_statistics.json"),
-            image_size=(28, 28) if args.tiny else (full_hw, full_hw),
+            image_size=hw,
         ),
     )
 
     t0 = time.time()
     wrapper = make_policy_wrapper(cfg)
-    if args.int8:
-        if args.model not in ("pi0", "mvla"):
-            print("--int8 is wired for the pi0/mvla serving path only",
-                  file=sys.stderr)
-            return 2
-        import jax.numpy as jnp  # noqa: F401
-
-        from intact_tpu.models import common as cm
-
-        wrapper.policy.params = jax.jit(cm.quantize_params)(wrapper.policy.params)
     server = BatchingPolicyServer(
         wrapper, cfg, host="127.0.0.1", port=args.port,
         metadata={"model": args.model}, max_batch_size=args.max_batch,

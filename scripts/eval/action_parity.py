@@ -108,15 +108,17 @@ def run_policy(fix: dict, checkpoint: str | None, model_type: str,
 
 def score_int8(fix: dict, checkpoint: str | None, model_type: str,
                mse_gate: float = INT8_MSE_GATE,
-               rel_gate: float = INT8_REL_GATE) -> dict:
-    """int8-vs-bf16 on identical inputs + shared noise -> gated verdict."""
+               rel_gate: float = INT8_REL_GATE,
+               use_bf16: bool = True) -> dict:
+    """int8-vs-baseline on identical inputs + shared noise -> gated verdict.
+    The baseline precision follows use_bf16 (--fp32 on CPU gate hosts)."""
     if "noise" not in fix:
         raise SystemExit(
             "int8: fixture must carry shared 'noise' so the two precisions "
             "denoise from the same start (make_fixture adds it)"
         )
-    ref = run_policy(fix, checkpoint, model_type, use_bf16=True)
-    q = run_policy(fix, checkpoint, model_type, use_bf16=True, quantize=True)
+    ref = run_policy(fix, checkpoint, model_type, use_bf16=use_bf16)
+    q = run_policy(fix, checkpoint, model_type, use_bf16=use_bf16, quantize=True)
     mse = float(((q - ref) ** 2).mean())
     rel = float(
         (np.abs(q - ref) / (np.abs(ref) + 1e-6)).mean()
@@ -147,7 +149,8 @@ def main() -> int:
 
     if args.role == "int8":
         result = score_int8(fix, args.checkpoint, args.model,
-                            args.int8_mse_gate, args.int8_rel_gate)
+                            args.int8_mse_gate, args.int8_rel_gate,
+                            use_bf16=not args.fp32)
         print(json.dumps(result))
         return 0 if result["pass"] else 1
 

@@ -191,8 +191,36 @@ class TestBatchBucketing:
         wrapper6, _ = _make_fused_wrapper(max_batch=6)
         assert wrapper6.bucket_sizes() == [1, 2, 4, 6]
         assert wrapper6.bucket_size(5) == 6
-        # MS3 vectorized requests can exceed max_batch rows: next power of two
-        assert wrapper6.bucket_size(7) == 8
+        # the compiled-shape set is BOUNDED: row counts beyond max_batch
+        # never mint a bigger bucket (the fuse splits the device call)
+        assert wrapper6.bucket_size(7) == 6
+        assert wrapper.bucket_size(1000) == 8
+
+    def test_oversized_vectorized_request_splits_device_calls(self):
+        """A vectorized request wider than max_batch_size is served by
+        SPLITTING into max_batch-sized device calls — never by compiling an
+        unbounded fused shape (which would blow both the compile-shape
+        budget and HBM)."""
+        from intact_tpu.serve.policy_wrapper import PolicySession
+
+        wrapper, _ = _make_fused_wrapper(max_batch=4)
+
+        class _BatchAdapter(_IdentityAdapter):
+            def postprocess_batch(self, actions):
+                return np.asarray(actions)
+
+        session = PolicySession(wrapper, _BatchAdapter())
+        wide = {
+            "image": np.zeros((10, 28, 28, 3), np.float32),
+            "state": np.stack([np.full(7, float(i)) for i in range(10)]).astype(np.float32),
+            "task": ["t"] * 10,
+        }
+        out = wrapper.infer_batch([(wide, session)])
+        assert out[0].shape == (10, 4, 7)
+        for i in range(10):
+            np.testing.assert_allclose(out[0][i], float(i))
+        # every device call stayed within the bucket set
+        assert set(wrapper.policy.sizes) <= {1, 2, 4}
 
     def test_infer_pads_to_bucket_and_scatters_correctly(self):
         wrapper, session = _make_fused_wrapper(max_batch=8)
