@@ -283,17 +283,27 @@ def bench_native_vla(args) -> int:
     _ = np.asarray(_small).ravel()[0]
     print(f"# init {time.time()-t0:.1f}s", file=sys.stderr)
 
+    # images are fed as HOST uint8 each call — the serving wire path: the
+    # wrappers ship uint8 and normalize on device (models/*/normalize_images),
+    # so the per-iteration host->device transfer is part of the measurement
+    # at its real (4x-reduced) size
     if args.model == "spatialvla":
         tok = HashTokenizer(vocab_size=cfg.spatial_offset,
                             max_length=cfg.tokenizer_max_length)
         lang, mask = tok(["put the carrot on the plate"] * b,
                          cfg.tokenizer_max_length)
         s = cfg.vision.image_size
-        images = np.random.default_rng(0).uniform(
-            -1, 1, (b, s, s, 3)).astype(np.float32)
+        images = np.random.default_rng(0).integers(
+            0, 255, (b, s, s, 3), dtype=np.uint8)
         depth = np.asarray(mod.flat_depth(b, cfg), np.float32)
-        fn = jax.jit(functools.partial(
-            mod.predict_action_tokens, cfg=cfg, policy=policy))
+
+        def fn_py(params, images_u8, depth, lang, mask):
+            return mod.predict_action_tokens(
+                params, mod.normalize_images(images_u8), depth, lang, mask,
+                cfg=cfg, policy=policy,
+            )
+
+        fn = jax.jit(fn_py)
         call_args = (params, images, depth, lang, mask)
     else:  # magma
         tok = HashTokenizer(vocab_size=cfg.image_token_id,
@@ -301,9 +311,16 @@ def bench_native_vla(args) -> int:
         tokens, masks = mod.build_prompt(
             tok, ["put the carrot on the plate"] * b, cfg)
         s = cfg.image_size
-        images = np.random.default_rng(0).normal(
-            size=(b, s, s, 3)).astype(np.float32)
-        fn = jax.jit(functools.partial(mod.generate, cfg=cfg, policy=policy))
+        images = np.random.default_rng(0).integers(
+            0, 255, (b, s, s, 3), dtype=np.uint8)
+
+        def fn_py(params, images_u8, tokens, masks):
+            return mod.generate(
+                params, mod.normalize_images(images_u8), tokens, masks,
+                cfg=cfg, policy=policy,
+            )
+
+        fn = jax.jit(fn_py)
         call_args = (params, images, tokens, masks)
 
     def run():

@@ -46,6 +46,21 @@ def init(key, cfg: MagmaConfig) -> cm.Params:
     }
 
 
+# CLIP image normalization constants (the HF Magma processor's convention)
+CLIP_MEAN = (0.48145466, 0.4578275, 0.40821073)
+CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
+
+
+def normalize_images(images_u8: jnp.ndarray) -> jnp.ndarray:
+    """uint8 [B, H, W, 3] -> CLIP-normalized float32, ON DEVICE.
+
+    Serving ships uint8 over the host->device transfer (4x fewer bytes than
+    pre-normalized float32 — the transfer dominates per-request latency at
+    512px) and pays the normalize on the VPU where it is free."""
+    pix01 = images_u8.astype(jnp.float32) / 255.0
+    return (pix01 - jnp.asarray(CLIP_MEAN)) / jnp.asarray(CLIP_STD)
+
+
 def encode_images(params, images, cfg: MagmaConfig,
                   policy: DtypePolicy = DEFAULT_POLICY):
     """images [B, H, W, 3] -> projected vision tokens [B, n_image_tokens, D_lm]."""

@@ -89,6 +89,13 @@ def ego3d_position_encoding(params, depth, cfg: SpatialVLAConfig,
 # forward
 # ---------------------------------------------------------------------------
 
+def normalize_images(images_u8: jnp.ndarray) -> jnp.ndarray:
+    """uint8 [B, H, W, 3] -> [-1, 1] float32, ON DEVICE (serving ships
+    uint8 over the host->device transfer — 4x fewer bytes; same convention
+    as the SigLIP [-1, 1] input the adapter otherwise produces)."""
+    return images_u8.astype(jnp.float32) / 127.5 - 1.0
+
+
 def embed_prefix(params, images, depth, lang_tokens, lang_masks,
                  cfg: SpatialVLAConfig, policy: DtypePolicy = DEFAULT_POLICY):
     """-> (embeds [B, N+L, D], mask [B, N+L]).
