@@ -81,11 +81,28 @@ class Pi0Policy:
         if quantize:
             params = jax.jit(cm.quantize_params)(params)
         self.params = params
+        # drain the device queue with a REAL (tiny) host readback: lowering
+        # the first big sample graph while the init program is still in
+        # flight hits a tunnel slow path that stalls 100-300 s
+        # (block_until_ready does not reliably block there); on real
+        # hardware this costs microseconds
+        np.asarray(min(jax.tree.leaves(self.params), key=lambda x: x.size))
 
         sample_fn = self.model.sample_actions
-        self._sample = jax.jit(
-            functools.partial(sample_fn, cfg=cfg, policy=self.policy)
-        )
+
+        def sample(params, key, images, img_masks, lang_tokens, lang_masks, state):
+            # serving ships uint8 frames (4x fewer bytes over the
+            # host->device transfer); normalize to [-1, 1] on device. The
+            # dtype branch resolves at trace time — float inputs (training
+            # validation, tests) pass through untouched.
+            if images.dtype == jnp.uint8:
+                images = images.astype(jnp.float32) / 127.5 - 1.0
+            return sample_fn(
+                params, key, images, img_masks, lang_tokens, lang_masks,
+                state, cfg=cfg, policy=self.policy,
+            )
+
+        self._sample = jax.jit(sample)
 
     # ------------------------------------------------------------------
     # checkpoint interface (step_{n} contract, hot-swappable)
@@ -132,7 +149,9 @@ class Pi0Policy:
         batch keys: "image" [B, H, W, 3] float [-1,1] or [B, K, H, W, 3];
         "state" [B, <=max_state_dim]; "task" list[str].
         """
-        image = np.asarray(batch["image"], np.float32)
+        image = np.asarray(batch["image"])
+        if image.dtype != np.uint8:  # uint8 normalizes on device (_sample)
+            image = image.astype(np.float32)
         if image.ndim == 4:
             image = image[:, None]  # add camera axis
         b = image.shape[0]

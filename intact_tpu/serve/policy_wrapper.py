@@ -74,9 +74,11 @@ class BasePolicyWrapper:
     def fuse_key(self, inputs: dict):
         """Requests whose inputs share this key may be fused into one device
         batch; the batching server groups by it, so a client sending odd
-        shapes forms its own group instead of poisoning neighbors."""
+        shapes (or dtypes — uint8 frames must never concatenate into a
+        float batch un-normalized) forms its own group instead of poisoning
+        neighbors."""
         return tuple(
-            (k, v.shape[1:])
+            (k, v.shape[1:], str(v.dtype))
             for k, v in sorted(inputs.items())
             if isinstance(v, np.ndarray)
         )
@@ -178,9 +180,28 @@ class BasePolicyWrapper:
         return res
 
 
+class Pi0Session(PolicySession):
+    """Ships frames as uint8: the adapters resize uint8 pixels with cv2
+    (uint8 in -> uint8 out) before normalizing, so re-encoding their
+    [-1, 1] float output back to uint8 is EXACTLY invertible — the device
+    sees identical values after the in-graph normalize (Pi0Policy._sample)
+    while the host->device transfer carries 4x fewer bytes."""
+
+    def preprocess(self, obs: dict) -> dict:
+        inputs = self.adapter.preprocess(obs)
+        img = np.asarray(inputs["image"])
+        if img.dtype != np.uint8:
+            inputs["image"] = np.clip(
+                np.round((img.astype(np.float32) + 1.0) * 127.5), 0, 255
+            ).astype(np.uint8)
+        return inputs
+
+
 class Pi0PolicyWrapper(BasePolicyWrapper):
     """Serves intact_tpu Pi0/MVLA checkpoints (LeRobotPolicyWrapper-
     equivalent, reference policy_wrapper.py:106-157)."""
+
+    session_cls = Pi0Session
 
     def __init__(self, config, model_cfg=None):
         super().__init__(config)
@@ -230,7 +251,7 @@ class Pi0PolicyWrapper(BasePolicyWrapper):
             getattr(self.policy, "cfg", None), "max_state_dim", 8
         ) or 8)
         return {
-            "image": np.zeros((1, h, w, 3), np.float32),
+            "image": np.zeros((1, h, w, 3), np.uint8),
             "state": np.zeros((1, state_dim), np.float32),
             "task": ["warmup"],
         }
@@ -354,6 +375,9 @@ class OctoPolicyWrapper(BasePolicyWrapper):
         )
         self._jnp, self._jax = jnp, jax
         self.params = jax.jit(lambda k: self.model.init(k, cfg))(jax.random.key(config.seed))
+        # drain the device queue (tiny readback): avoids the tunnel's
+        # lowering-while-busy stall on the first jitted call
+        np.asarray(min(jax.tree.leaves(self.params), key=lambda x: x.size))
         vocab = cfg.t5.vocab_size if self._upstream else cfg.vocab_size
         # upstream octo conditions on the t5-base tokenizer; canonical hub
         # name as the default asset, hash fallback only when unconfigured
@@ -638,6 +662,9 @@ class SpatialVLANativePolicyWrapper(BasePolicyWrapper):
             ),
             out_shardings=self._shardings,
         )(jax.random.key(config.seed))
+        # drain the device queue (tiny readback): avoids the tunnel's
+        # lowering-while-busy stall on the first jitted call
+        np.asarray(min(jax.tree.leaves(self.params), key=lambda x: x.size))
         # PaliGemma2 tokenizer asset (spatial tokens appended at the tail);
         # hermetic hash fallback when unconfigured
         self.tokenizer = make_tokenizer(
@@ -822,6 +849,9 @@ class MagmaNativePolicyWrapper(BasePolicyWrapper):
             ),
             out_shardings=self._shardings,
         )(jax.random.key(config.seed))
+        # drain the device queue (tiny readback): avoids the tunnel's
+        # lowering-while-busy stall on the first jitted call
+        np.asarray(min(jax.tree.leaves(self.params), key=lambda x: x.size))
         # Magma tokenizes with the LLaMA-3 tokenizer; explicit asset or the
         # hermetic hash fallback (make_tokenizer warns loudly). The hash
         # fallback's vocab is bounded below image_token_id so text tokens
