@@ -334,7 +334,14 @@ class OctoSession(PolicySession):
                 f"({cfg.image_size}, {cfg.image_size}); set env.image_size "
                 "accordingly"
             )
-        self.history.append(np.asarray(inputs["image"][0]))
+        # ship uint8 (exactly invertible: the adapter's floats come from
+        # uint8 pixels); the jitted sample normalizes on device
+        frame = np.asarray(inputs["image"][0])
+        if frame.dtype != np.uint8:
+            frame = np.clip(
+                np.round((frame.astype(np.float32) + 1.0) * 127.5), 0, 255
+            ).astype(np.uint8)
+        self.history.append(frame)
         frames = list(self.history)
         n_pad = cfg.history - len(frames)
         return {
@@ -395,9 +402,17 @@ class OctoPolicyWrapper(BasePolicyWrapper):
             )
             self.tokenizer = make_tokenizer("hash", cfg.max_lang_tokens, vocab_size=vocab)
         self._rng = jax.random.key(config.seed)
-        self._sample = jax.jit(
-            functools.partial(self.model.sample_actions, cfg=cfg)
-        )
+        sample_fn = functools.partial(self.model.sample_actions, cfg=cfg)
+
+        def sample(params, key, images, img_masks, lang_tokens, lang_masks, state):
+            # uint8 frames normalize on device (trace-time dtype branch)
+            if images.dtype == jnp.uint8:
+                images = images.astype(jnp.float32) / 127.5 - 1.0
+            return sample_fn(
+                params, key, images, img_masks, lang_tokens, lang_masks, state
+            )
+
+        self._sample = jax.jit(sample)
         path = config.eval_cfg.pretrained_model_path
         if path:
             self.switch_model(path)
@@ -420,10 +435,10 @@ class OctoPolicyWrapper(BasePolicyWrapper):
     def warmup_inputs(self) -> dict:
         cfg = self.model_cfg
         # the session guards adapter output to the model's input size, so
-        # warmup compiles exactly the serving shape
+        # warmup compiles exactly the serving shape (uint8 wire)
         h = w = cfg.image_size
         return {
-            "images": np.zeros((1, cfg.history, h, w, 3), np.float32),
+            "images": np.zeros((1, cfg.history, h, w, 3), np.uint8),
             "img_masks": np.ones((1, cfg.history), bool),
             "state": np.zeros((1, cfg.action_dim), np.float32),
             "task": ["warmup"],
