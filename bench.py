@@ -294,7 +294,7 @@ def bench_native_vla(args) -> int:
                          cfg.tokenizer_max_length)
         s = cfg.vision.image_size
         images = np.random.default_rng(0).integers(
-            0, 255, (b, s, s, 3), dtype=np.uint8)
+            0, 256, (b, s, s, 3), dtype=np.uint8)
         depth = np.asarray(mod.flat_depth(b, cfg), np.float32)
 
         def fn_py(params, images_u8, depth, lang, mask):
@@ -312,7 +312,7 @@ def bench_native_vla(args) -> int:
             tok, ["put the carrot on the plate"] * b, cfg)
         s = cfg.image_size
         images = np.random.default_rng(0).integers(
-            0, 255, (b, s, s, 3), dtype=np.uint8)
+            0, 256, (b, s, s, 3), dtype=np.uint8)
 
         def fn_py(params, images_u8, tokens, masks):
             return mod.generate(

@@ -9,7 +9,6 @@ functions (sample chunk / compute loss); everything else is numpy.
 
 from __future__ import annotations
 
-import functools
 from collections import deque
 
 import jax
@@ -81,12 +80,11 @@ class Pi0Policy:
         if quantize:
             params = jax.jit(cm.quantize_params)(params)
         self.params = params
-        # drain the device queue with a REAL (tiny) host readback: lowering
-        # the first big sample graph while the init program is still in
-        # flight hits a tunnel slow path that stalls 100-300 s
-        # (block_until_ready does not reliably block there); on real
-        # hardware this costs microseconds
-        np.asarray(min(jax.tree.leaves(self.params), key=lambda x: x.size))
+        from intact_tpu.utils.device import drain_device_queue
+
+        # lowering the first big sample graph while the init program is
+        # still in flight stalls 100-300 s through the tunnel
+        drain_device_queue(self.params)
 
         sample_fn = self.model.sample_actions
 
@@ -96,7 +94,7 @@ class Pi0Policy:
             # dtype branch resolves at trace time — float inputs (training
             # validation, tests) pass through untouched.
             if images.dtype == jnp.uint8:
-                images = images.astype(jnp.float32) / 127.5 - 1.0
+                images = images.astype(jnp.float32) * (2.0 / 255.0) - 1.0
             return sample_fn(
                 params, key, images, img_masks, lang_tokens, lang_masks,
                 state, cfg=cfg, policy=self.policy,

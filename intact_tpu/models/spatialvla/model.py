@@ -93,7 +93,7 @@ def normalize_images(images_u8: jnp.ndarray) -> jnp.ndarray:
     """uint8 [B, H, W, 3] -> [-1, 1] float32, ON DEVICE (serving ships
     uint8 over the host->device transfer — 4x fewer bytes; same convention
     as the SigLIP [-1, 1] input the adapter otherwise produces)."""
-    return images_u8.astype(jnp.float32) / 127.5 - 1.0
+    return images_u8.astype(jnp.float32) * (2.0 / 255.0) - 1.0
 
 
 def embed_prefix(params, images, depth, lang_tokens, lang_masks,

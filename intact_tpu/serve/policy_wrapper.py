@@ -188,12 +188,10 @@ class Pi0Session(PolicySession):
     while the host->device transfer carries 4x fewer bytes."""
 
     def preprocess(self, obs: dict) -> dict:
+        from intact_tpu.utils.device import float_to_u8
+
         inputs = self.adapter.preprocess(obs)
-        img = np.asarray(inputs["image"])
-        if img.dtype != np.uint8:
-            inputs["image"] = np.clip(
-                np.round((img.astype(np.float32) + 1.0) * 127.5), 0, 255
-            ).astype(np.uint8)
+        inputs["image"] = float_to_u8(np.asarray(inputs["image"]))
         return inputs
 
 
@@ -336,12 +334,9 @@ class OctoSession(PolicySession):
             )
         # ship uint8 (exactly invertible: the adapter's floats come from
         # uint8 pixels); the jitted sample normalizes on device
-        frame = np.asarray(inputs["image"][0])
-        if frame.dtype != np.uint8:
-            frame = np.clip(
-                np.round((frame.astype(np.float32) + 1.0) * 127.5), 0, 255
-            ).astype(np.uint8)
-        self.history.append(frame)
+        from intact_tpu.utils.device import float_to_u8
+
+        self.history.append(float_to_u8(np.asarray(inputs["image"][0])))
         frames = list(self.history)
         n_pad = cfg.history - len(frames)
         return {
@@ -382,9 +377,9 @@ class OctoPolicyWrapper(BasePolicyWrapper):
         )
         self._jnp, self._jax = jnp, jax
         self.params = jax.jit(lambda k: self.model.init(k, cfg))(jax.random.key(config.seed))
-        # drain the device queue (tiny readback): avoids the tunnel's
-        # lowering-while-busy stall on the first jitted call
-        np.asarray(min(jax.tree.leaves(self.params), key=lambda x: x.size))
+        from intact_tpu.utils.device import drain_device_queue
+
+        drain_device_queue(self.params)  # tunnel lowering-stall workaround
         vocab = cfg.t5.vocab_size if self._upstream else cfg.vocab_size
         # upstream octo conditions on the t5-base tokenizer; canonical hub
         # name as the default asset, hash fallback only when unconfigured
@@ -407,7 +402,7 @@ class OctoPolicyWrapper(BasePolicyWrapper):
         def sample(params, key, images, img_masks, lang_tokens, lang_masks, state):
             # uint8 frames normalize on device (trace-time dtype branch)
             if images.dtype == jnp.uint8:
-                images = images.astype(jnp.float32) / 127.5 - 1.0
+                images = images.astype(jnp.float32) * (2.0 / 255.0) - 1.0
             return sample_fn(
                 params, key, images, img_masks, lang_tokens, lang_masks, state
             )
@@ -598,7 +593,9 @@ class SpatialVLASession(PolicySession):
             ])
         # ship uint8; the jitted predict normalizes on device (4x fewer
         # bytes over the host->device transfer — svla.normalize_images)
-        image = np.clip(np.round((image + 1.0) * 127.5), 0, 255).astype(np.uint8)
+        from intact_tpu.utils.device import float_to_u8
+
+        image = float_to_u8(image)
         depth = obs.get("observation.depth")
         if depth is None:
             # no depth estimator on the serving host: flat-plane prior (the
@@ -635,7 +632,6 @@ class SpatialVLANativePolicyWrapper(BasePolicyWrapper):
 
     def __init__(self, config, model_cfg=None):
         super().__init__(config)
-        import functools
 
         import jax
 
@@ -677,9 +673,9 @@ class SpatialVLANativePolicyWrapper(BasePolicyWrapper):
             ),
             out_shardings=self._shardings,
         )(jax.random.key(config.seed))
-        # drain the device queue (tiny readback): avoids the tunnel's
-        # lowering-while-busy stall on the first jitted call
-        np.asarray(min(jax.tree.leaves(self.params), key=lambda x: x.size))
+        from intact_tpu.utils.device import drain_device_queue
+
+        drain_device_queue(self.params)  # tunnel lowering-stall workaround
         # PaliGemma2 tokenizer asset (spatial tokens appended at the tail);
         # hermetic hash fallback when unconfigured
         self.tokenizer = make_tokenizer(
@@ -796,10 +792,9 @@ class MagmaSession(PolicySession):
             )
         s = self.wrapper.model_cfg.image_size
         # adapter output [B, H, W, 3] in [-1, 1] -> uint8 at native res
-        u8 = np.clip(
-            np.round((np.asarray(inputs["image"], np.float32) + 1.0) * 127.5),
-            0, 255,
-        ).astype(np.uint8)
+        from intact_tpu.utils.device import float_to_u8
+
+        u8 = float_to_u8(np.asarray(inputs["image"], np.float32))
         if u8.shape[1] != s or u8.shape[2] != s:
             u8 = np.stack([
                 cv2.resize(im, (s, s), interpolation=cv2.INTER_LINEAR)
@@ -824,7 +819,6 @@ class MagmaNativePolicyWrapper(BasePolicyWrapper):
 
     def __init__(self, config, model_cfg=None):
         super().__init__(config)
-        import functools
 
         import jax
 
@@ -864,9 +858,9 @@ class MagmaNativePolicyWrapper(BasePolicyWrapper):
             ),
             out_shardings=self._shardings,
         )(jax.random.key(config.seed))
-        # drain the device queue (tiny readback): avoids the tunnel's
-        # lowering-while-busy stall on the first jitted call
-        np.asarray(min(jax.tree.leaves(self.params), key=lambda x: x.size))
+        from intact_tpu.utils.device import drain_device_queue
+
+        drain_device_queue(self.params)  # tunnel lowering-stall workaround
         # Magma tokenizes with the LLaMA-3 tokenizer; explicit asset or the
         # hermetic hash fallback (make_tokenizer warns loudly). The hash
         # fallback's vocab is bounded below image_token_id so text tokens

@@ -50,7 +50,7 @@ def ensure_dataset(workdir: Path, hw: int, n_traj: int, steps: int) -> Path:
         for _ in range(n_traj):
             yield {
                 "observation": {
-                    "image_0": rng.integers(0, 255, (steps, hw, hw, 3),
+                    "image_0": rng.integers(0, 256, (steps, hw, hw, 3),
                                             dtype=np.uint8),
                     "state": rng.normal(size=(steps, 7)).astype(np.float32),
                 },

@@ -635,3 +635,70 @@ class TestRunCLIServerRole:
         action = c.infer(obs)
         assert np.asarray(action).shape == (4, 7)
         assert c.reset() == {"status": "reset"}
+
+
+class TestUint8WireParity:
+    """The uint8 serving wire must recover the float path's device inputs:
+    adapters resize uint8 -> uint8 before normalizing, so float_to_u8 of
+    their output recovers the ORIGINAL pixels exactly; the in-graph
+    normalize then matches the host normalize to within 1 float32 ULP
+    (the C fastops path may fuse multiply-add; XLA may not — bit-exactness
+    across them is not portable, and 6e-8 is far below any behavioral
+    threshold)."""
+
+    def test_float_to_u8_roundtrip_for_adapter_output(self):
+        import cv2
+        import jax.numpy as jnp
+
+        from intact_tpu.envs.adapters.simpler import BridgeSimplerAdapter
+        from intact_tpu.utils.device import float_to_u8
+
+        cfg = make_cfg(port=0)
+        adapter = BridgeSimplerAdapter(cfg)
+        rng = np.random.default_rng(3)
+        raw = rng.integers(0, 256, (480, 640, 3), dtype=np.uint8)
+        obs = {
+            "observation.images.top": raw,
+            "observation.state": {
+                "agent": {"eef_pos": np.array([0.1, 0.2, 0.3, 1.0, 0, 0, 0, 0.8])}
+            },
+            "task": "put the carrot on the plate",
+        }
+        float_img = np.asarray(adapter.preprocess(obs)["image"])  # [-1,1] f32
+        u8 = float_to_u8(float_img)
+        # pixel-exact recovery of the resized uint8 frame
+        expected_u8 = cv2.resize(raw, (28, 28), interpolation=cv2.INTER_LANCZOS4)
+        np.testing.assert_array_equal(u8[0], expected_u8)
+        # device-side normalize matches the host normalize to <= 1 ULP
+        renorm = np.asarray(
+            jnp.asarray(u8).astype(jnp.float32) * (2.0 / 255.0) - 1.0
+        )
+        assert np.abs(renorm - float_img).max() <= 1.3e-7
+
+    def test_pi0_actions_identical_u8_vs_float_path(self):
+        """select_action through the uint8 session wire == feeding the
+        policy the float images directly (identical rng stream)."""
+        from intact_tpu.serve.policy_wrapper import Pi0PolicyWrapper
+
+        obs = {
+            "observation.images.top": np.random.default_rng(4).integers(
+                0, 256, (128, 128, 3), dtype=np.uint8
+            ),
+            "observation.state": {
+                "agent": {"eef_pos": np.array([0.1, 0.2, 0.3, 1.0, 0, 0, 0, 0.8])}
+            },
+            "task": "put the carrot on the plate",
+        }
+        w_u8 = Pi0PolicyWrapper(make_cfg(port=0))
+        a_u8 = w_u8.select_action(obs)
+
+        # float reference: same policy params/rng, adapter output fed raw
+        w_f = Pi0PolicyWrapper(make_cfg(port=0))
+        inputs = w_f.env_adapter.preprocess(obs)  # float [-1, 1]
+        assert inputs["image"].dtype != np.uint8
+        chunk = w_f.policy.sample_action_chunk(inputs)
+        env_dim = len(w_f.env_adapter.dataset_statistics["action"]["mean"])
+        a_f = w_f.env_adapter.postprocess(
+            chunk[0, : w_f.action_step, :env_dim]
+        )
+        np.testing.assert_allclose(a_u8, a_f, rtol=1e-5, atol=1e-6)
