@@ -41,16 +41,25 @@ class SimplerAdapter(BaseEnvAdapter):
 
     # ---- obs -> model inputs ------------------------------------------
 
+    # serving wrappers set this True (PolicySession): the device normalizes
+    # uint8 frames in-graph, so emitting uint8 here skips a whole
+    # normalize-then-requantize pass per request. Training/eval callers keep
+    # the [-1, 1] float contract by default.
+    output_uint8: bool = False
+
     def preprocess(self, obs: dict) -> dict:
         image = cv2.resize(
             obs["observation.images.top"], self.image_size,
             interpolation=cv2.INTER_LANCZOS4,
         )
-        # [1, H, W, 3] in [-1, 1] (channels-last: TPU layout); fused native
-        # u8->f32 normalize (intact_tpu.native) with numpy fallback
-        from intact_tpu import native
+        if self.output_uint8:
+            image = image[None]
+        else:
+            # [1, H, W, 3] in [-1, 1] (channels-last: TPU layout); fused
+            # native u8->f32 normalize (intact_tpu.native), numpy fallback
+            from intact_tpu import native
 
-        image = native.normalize_u8(image)[None]
+            image = native.normalize_u8(image)[None]
 
         # "observation.state" carries the raw env obs (nested agent dict)
         raw_proprio = self.preprocess_proprio(obs["observation.state"])
@@ -205,7 +214,8 @@ class OctoBridgeSimplerAdapter(BridgeSimplerAdapter):
                 obs["observation.images.top"], (w, h),
                 interpolation=cv2.INTER_LANCZOS4,
             )
-        image = image.astype(np.float32) / 255.0 * 2.0 - 1.0
+        if not self.output_uint8:
+            image = image.astype(np.float32) / 255.0 * 2.0 - 1.0
         return {
             "image": image[None],
             "state": np.zeros((1, 7), np.float32),  # octo-bridge uses no proprio

@@ -23,7 +23,7 @@ class BatchBridgeSimplerAdapter(BridgeSimplerAdapter):
             cv2.resize(im, self.image_size, interpolation=cv2.INTER_LANCZOS4)
             for im in imgs
         ])
-        images = native.normalize_u8(resized)
+        images = resized if self.output_uint8 else native.normalize_u8(resized)
 
         eef = np.asarray(obs["observation.state"], np.float64)  # [N, 8]
         raw = np.stack([self._proprio_one(e) for e in eef])

@@ -30,9 +30,17 @@ class PolicySession:
     shared policy are untouched (the reference's per-connection reset
     semantics, websocket_policy_server.py:74-77)."""
 
+    # sessions on the uint8 wire ask the adapter to skip its float
+    # normalize entirely (adapters that support output_uint8 emit the
+    # resized uint8 frame; others keep the float contract and the session
+    # re-encodes via float_to_u8)
+    wants_uint8 = False
+
     def __init__(self, wrapper: "BasePolicyWrapper", adapter):
         self.wrapper = wrapper
         self.adapter = adapter
+        if self.wants_uint8 and hasattr(adapter, "output_uint8"):
+            adapter.output_uint8 = True
 
     def preprocess(self, obs: dict) -> dict:
         return self.adapter.preprocess(obs)
@@ -181,11 +189,14 @@ class BasePolicyWrapper:
 
 
 class Pi0Session(PolicySession):
-    """Ships frames as uint8: the adapters resize uint8 pixels with cv2
-    (uint8 in -> uint8 out) before normalizing, so re-encoding their
-    [-1, 1] float output back to uint8 is EXACTLY invertible — the device
-    sees identical values after the in-graph normalize (Pi0Policy._sample)
-    while the host->device transfer carries 4x fewer bytes."""
+    """Ships frames as uint8: adapters that support it emit resized uint8
+    directly (output_uint8); others resize uint8 -> uint8 before
+    normalizing, so re-encoding their [-1, 1] float output back to uint8
+    recovers the same pixels — the device sees the same values after the
+    in-graph normalize (Pi0Policy._sample) while the host->device transfer
+    carries 4x fewer bytes."""
+
+    wants_uint8 = True
 
     def preprocess(self, obs: dict) -> dict:
         from intact_tpu.utils.device import float_to_u8
@@ -304,6 +315,8 @@ class OctoSession(PolicySession):
     """Octo keeps a 2-frame image-history deque with a timestep pad mask
     (reference policy_wrapper.py:344-354). The deque is per-connection: a
     co-batched client's reset must not clear another episode's history."""
+
+    wants_uint8 = True
 
     def __init__(self, wrapper, adapter):
         super().__init__(wrapper, adapter)
@@ -563,6 +576,8 @@ class SpatialVLASession(PolicySession):
     owns the host-side resize + depth prep so the fused device call only
     sees model-shaped arrays."""
 
+    wants_uint8 = True
+
     def __init__(self, wrapper, adapter):
         super().__init__(wrapper, adapter)
         from intact_tpu.envs.adapters.simpler import ActionEnsembler
@@ -584,18 +599,17 @@ class SpatialVLASession(PolicySession):
                 f"spatialvla serving is single-env per connection; adapter "
                 f"produced a {inputs['image'].shape[0]}-row request"
             )
-        image = np.asarray(inputs["image"], np.float32)  # [1, H, W, 3] in [-1,1]
+        # ship uint8; the jitted predict normalizes on device (4x fewer
+        # bytes over the host->device transfer — svla.normalize_images)
+        from intact_tpu.utils.device import float_to_u8
+
+        image = float_to_u8(np.asarray(inputs["image"]))  # [1, H, W, 3] u8
         s = cfg.vision.image_size
         if image.shape[1] != s or image.shape[2] != s:
             image = np.stack([
                 cv2.resize(im, (s, s), interpolation=cv2.INTER_LINEAR)
                 for im in image
             ])
-        # ship uint8; the jitted predict normalizes on device (4x fewer
-        # bytes over the host->device transfer — svla.normalize_images)
-        from intact_tpu.utils.device import float_to_u8
-
-        image = float_to_u8(image)
         depth = obs.get("observation.depth")
         if depth is None:
             # no depth estimator on the serving host: flat-plane prior (the
@@ -781,6 +795,8 @@ class MagmaSession(PolicySession):
     (models/magma/model.py:normalize_images) — 4x fewer bytes over the
     host->device transfer, which dominates per-request latency at 512px."""
 
+    wants_uint8 = True
+
     def preprocess(self, obs: dict) -> dict:
         import cv2
 
@@ -791,10 +807,11 @@ class MagmaSession(PolicySession):
                 f"produced a {inputs['image'].shape[0]}-row request"
             )
         s = self.wrapper.model_cfg.image_size
-        # adapter output [B, H, W, 3] in [-1, 1] -> uint8 at native res
+        # adapter output -> uint8 at native res (uint8 passthrough when the
+        # adapter already emits it)
         from intact_tpu.utils.device import float_to_u8
 
-        u8 = float_to_u8(np.asarray(inputs["image"], np.float32))
+        u8 = float_to_u8(np.asarray(inputs["image"]))
         if u8.shape[1] != s or u8.shape[2] != s:
             u8 = np.stack([
                 cv2.resize(im, (s, s), interpolation=cv2.INTER_LINEAR)
