@@ -95,6 +95,23 @@ def bench_train(args) -> int:
         )
     )(jax.random.key(0))
     jax.block_until_ready(params)
+
+    if args.int8:
+        # trainer's quantize_frozen_int8 mode: frozen tower block kernels
+        # int8 (W8A8 prefill on the int8 MXU); only grad-safe where no
+        # gradient flows through the tower (trainer.py _QUANTIZE_FROZEN_SAFE)
+        if args.model != "pi0":
+            print("--mode train --int8 (quantize_frozen_int8) is only "
+                  "grad-safe for pi0 expert-only fine-tunes", file=sys.stderr)
+            return 2
+        params = jax.jit(lambda p: cm.quantize_frozen(p, trainable))(params)
+        jax.block_until_ready(params)
+        # rebuild the mask over the quantized structure (kernel ->
+        # kernel_q/kernel_scale under frozen blocks)
+        trainable = jax.tree.map(lambda _: False, params)
+        for name in trainable_names:
+            trainable[name] = jax.tree.map(lambda _: True, trainable[name])
+
     tx, _ = make_optimizer(
         OptimizerConfig(lr=5e-5, warmup_steps=10, first_cycle_steps=10_000),
         frozen_mask=trainable,
@@ -149,7 +166,8 @@ def bench_train(args) -> int:
     print(f"# median step {t_med*1e3:.1f} ms -> {samples_per_sec:.1f} samples/s",
           file=sys.stderr)
     print(json.dumps({
-        "metric": f"{args.model}_train_samples_per_sec_per_chip",
+        "metric": f"{args.model}_train{'_int8frozen' if args.int8 else ''}"
+                  "_samples_per_sec_per_chip",
         "value": round(samples_per_sec, 2),
         "unit": "samples/s",
         # the BASELINE.md envelope is the Pi0 bridge fine-tune; other

@@ -179,6 +179,12 @@ class TrainPipelineConfig:
 
     use_bf16: bool = True
     remat: bool = False
+    # Expert-only fine-tunes: store the frozen tower's block kernels int8
+    # (W8A8 forward on the int8 MXU, ~2x bf16 prefill). Only valid where no
+    # gradient flows through the tower (pi0 + train_expert_only; the
+    # trainer validates). Fidelity is gated like serving int8:
+    # scripts/eval/action_parity.py int8 (doc/parity.md §6).
+    quantize_frozen_int8: bool = False
 
     global_batch_size: int = 1024
     per_device_batch_size: int = 32

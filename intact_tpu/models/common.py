@@ -157,6 +157,35 @@ def quantize_params(params: Params, path_filter=None) -> Params:
     return walk(params)
 
 
+def quantize_frozen(params: Params, trainable_mask) -> Params:
+    """Quantize the FLOP-heavy kernels of FROZEN dense nodes to int8.
+
+    trainable_mask: bool pytree like params (True = trainable). A dense
+    node quantizes only if it matches QUANTIZE_DEFAULT_PATTERN AND every
+    leaf under it is frozen — trainable kernels always stay float. Used by
+    the trainer's quantize_frozen_int8 expert-only fine-tune mode: the
+    frozen tower's forward (prefill) rides the int8 MXU while the
+    trainable expert keeps fp32 masters.
+    """
+    import re
+
+    default = re.compile(QUANTIZE_DEFAULT_PATTERN)
+
+    def walk(node, mask_node, path=""):
+        if isinstance(node, dict):
+            if "kernel" in node and default.match(path):
+                if not any(jax.tree.leaves(mask_node)):  # fully frozen
+                    return quantize_dense(node)
+                return node
+            return {
+                k: walk(v, mask_node[k], f"{path}/{k}" if path else k)
+                for k, v in node.items()
+            }
+        return node
+
+    return walk(params, trainable_mask)
+
+
 def embed_lookup(p: Params, ids: jnp.ndarray, policy: DtypePolicy = DEFAULT_POLICY) -> jnp.ndarray:
     # mode="clip": jnp.take's default out-of-bounds fill is NaN, which turns a
     # tokenizer/vocab mismatch into silent NaN loss — clip instead

@@ -28,12 +28,12 @@ DEFAULT_RULES: list[tuple[str, P]] = [
     # embeddings
     (r".*embed/embedding$", P("tensor", "fsdp")),
     # attention projections (stacked: leading layer axis)
-    (r".*blocks/attn/[qkv]/kernel$", P(None, "fsdp", "tensor")),
-    (r".*blocks/attn/o/kernel$", P(None, "tensor", "fsdp")),
+    (r".*blocks/attn/[qkv]/kernel(_q)?$", P(None, "fsdp", "tensor")),
+    (r".*blocks/attn/o/kernel(_q)?$", P(None, "tensor", "fsdp")),
     (r".*blocks/attn/[qkvo]/bias$", P()),
     # gated / vit MLPs
-    (r".*blocks/mlp/(gate|up|fc1)/kernel$", P(None, "fsdp", "tensor")),
-    (r".*blocks/mlp/(down|fc2)/kernel$", P(None, "tensor", "fsdp")),
+    (r".*blocks/mlp/(gate|up|fc1)/kernel(_q)?$", P(None, "fsdp", "tensor")),
+    (r".*blocks/mlp/(down|fc2)/kernel(_q)?$", P(None, "tensor", "fsdp")),
     (r".*blocks/mlp/fc1/bias$", P(None, "tensor")),
     # Glue projections (img_proj / time fusion / action heads): REPLICATED
     # on purpose. They are a few MB each, and tensor/fsdp-sharding their

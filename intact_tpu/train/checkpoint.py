@@ -107,10 +107,20 @@ def restore_train_state(
     template_state: TrainState,
     state_shardings=None,
     resume_run: bool = True,
+    params_template=None,
+    params_shardings=None,
+    params_transform=None,
 ) -> tuple[TrainState, dict]:
     """Restore a full TrainState (+ aux dict). With resume_run=False only
     params are loaded (fresh optimizer/counters), mirroring the reference's
-    load_from_checkpoint vs resume_run split."""
+    load_from_checkpoint vs resume_run split.
+
+    params_template/params_shardings/params_transform support restoring a
+    checkpoint whose on-disk param structure differs from the live state's:
+    params restore into `params_template` and `params_transform` maps them
+    into the live structure (the trainer's quantize_frozen_int8 mode loads
+    float pretrained checkpoints this way, quantizing the frozen tower
+    after restore)."""
     path = Path(ckpt_path)
     if not (path / "params").exists():
         # resume wants the newest COMMITTED save; a crash mid-save leaves a
@@ -130,8 +140,13 @@ def restore_train_state(
             raise FileNotFoundError(f"no checkpoint under {path}")
         path = step_dir(path, steps[-1])
 
-    p_shard = state_shardings.params if state_shardings is not None else None
-    params = restore_params(path, template_state.params, p_shard)
+    if params_template is not None:
+        params = restore_params(path, params_template, params_shardings)
+    else:
+        p_shard = state_shardings.params if state_shardings is not None else None
+        params = restore_params(path, template_state.params, p_shard)
+    if params_transform is not None:
+        params = params_transform(params)
     if not resume_run:
         return (
             TrainState(

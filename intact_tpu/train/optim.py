@@ -78,6 +78,12 @@ def make_optimizer(cfg: OptimizerConfig, frozen_mask=None):
     frozen_mask: optional pytree of bools (True = trainable). Frozen leaves
     get zero updates — the functional analogue of requires_grad=False
     (reference trainer.py:109-123 freeze flags).
+
+    Gradient accumulation (MultiSteps) sits INSIDE the trainable partition:
+    the accumulator buffer then only covers trainable leaves — a frozen 3B
+    tower costs zero optimizer HBM even with accumulation — and frozen
+    leaves (which may be int8-quantized, see trainer quantize_frozen_int8)
+    never touch any optimizer buffer.
     """
     schedule = cosine_warmup_restarts(
         max_lr=cfg.lr,
@@ -97,11 +103,11 @@ def make_optimizer(cfg: OptimizerConfig, frozen_mask=None):
             weight_decay=cfg.weight_decay,
         ),
     )
+    if cfg.grad_accumulation_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.grad_accumulation_steps)
     if frozen_mask is not None:
         tx = optax.multi_transform(
             {"train": tx, "freeze": optax.set_to_zero()},
             param_labels=jax.tree.map(lambda t: "train" if t else "freeze", frozen_mask),
         )
-    if cfg.grad_accumulation_steps > 1:
-        tx = optax.MultiSteps(tx, every_k_schedule=cfg.grad_accumulation_steps)
     return tx, schedule

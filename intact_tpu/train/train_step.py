@@ -52,32 +52,67 @@ def make_train_step(
     """-> step(state, batch) -> (state, metrics). Pure; jit at the call site
     with shardings + donate_argnums=(0,)].
 
-    ``trainable_mask`` stop-gradients FROZEN param leaves inside the loss:
-    JAX's symbolic-zero AD then never emits the dL/dW contractions for
-    frozen weights (the optimizer would mask those grads to zero anyway —
-    the reference relies on torch requires_grad=False for the same saving,
-    trainer.py:109-123). Activation gradients still flow, so parameters
-    that train THROUGH frozen layers (e.g. MVLA metaqueries) are unaffected.
+    ``trainable_mask`` PARTITIONS the param tree: frozen leaves become
+    closure constants of the differentiated function, so JAX never emits
+    the dL/dW contractions for frozen weights (the optimizer would mask
+    those grads to zero anyway — the reference relies on torch
+    requires_grad=False for the same saving, trainer.py:109-123).
+    Activation gradients still flow THROUGH frozen layers (constants on
+    the forward path, e.g. MVLA metaqueries train through the frozen VLM).
+    Partitioning — rather than stop_gradient on frozen leaves — also
+    admits non-differentiable frozen leaves (the int8-quantized frozen
+    tower of `quantize_frozen_int8`): jax.grad rejects integer inputs,
+    but constants are fine. Frozen grads are synthesized as zeros for the
+    optimizer (optax.set_to_zero partition).
     """
-
-    if trainable_mask is not None:
-        base_loss = loss_fn
-
-        def loss_fn(params, key, batch):  # noqa: F811
-            params = jax.tree.map(
-                lambda p, m: p if m else jax.lax.stop_gradient(p),
-                params, trainable_mask,
-            )
-            return base_loss(params, key, batch)
 
     if remat:
         loss_fn = jax.checkpoint(loss_fn, static_argnums=())
 
+    if trainable_mask is not None:
+        # Static partition indices (the mask is a Python pytree of bools).
+        mask_leaves = jax.tree.leaves(trainable_mask)
+        idx_train = [i for i, m in enumerate(mask_leaves) if m]
+
+        def value_and_grad_params(params, step_key, batch):
+            flat, treedef = jax.tree_util.tree_flatten(params)
+            train_leaves = [flat[i] for i in idx_train]
+
+            def loss_over_trainable(train_list):
+                merged = list(flat)
+                for i, leaf in zip(idx_train, train_list):
+                    merged[i] = leaf
+                return loss_fn(
+                    jax.tree_util.tree_unflatten(treedef, merged), step_key, batch
+                )
+
+            (loss, aux), g_train = jax.value_and_grad(
+                loss_over_trainable, has_aux=True
+            )(train_leaves)
+            # Frozen grads are zeros; int leaves (quantized kernels) get
+            # float32 zeros so optax accumulation/apply stay in float —
+            # XLA folds the zero broadcasts, nothing is materialized.
+            g_flat = [
+                jnp.zeros(
+                    leaf.shape,
+                    leaf.dtype
+                    if jnp.issubdtype(leaf.dtype, jnp.inexact)
+                    else jnp.float32,
+                )
+                for leaf in flat
+            ]
+            for i, g in zip(idx_train, g_train):
+                g_flat[i] = g
+            grads = jax.tree_util.tree_unflatten(treedef, g_flat)
+            return (loss, aux), grads
+    else:
+
+        def value_and_grad_params(params, step_key, batch):
+            return jax.value_and_grad(loss_fn, has_aux=True)(params, step_key, batch)
+
     def step(state: TrainState, batch) -> tuple[TrainState, dict]:
         rng, step_key = jax.random.split(state.rng)
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, step_key, batch
-        )
+        (loss, aux), grads = value_and_grad_params(state.params, step_key, batch)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics = {

@@ -140,6 +140,12 @@ def preprocess_batch(batch: dict, tokenizer, model_cfg, train: bool = True) -> d
     return out
 
 
+# model types whose compute_loss provably never differentiates through the
+# frozen tower (pi0: predict_velocity_frozen_prefix stop-gradients the whole
+# prefix K/V) — the only ones where quantize_frozen_int8 is sound
+_QUANTIZE_FROZEN_SAFE = {"pi0"}
+
+
 class Trainer:
     """Model-agnostic flow-matching VLA trainer (pi0 / mvla families)."""
 
@@ -180,7 +186,25 @@ class Trainer:
             lambda k: self.model.init(k, self.model_cfg), jax.random.key(cfg.seed)
         )
         frozen_mask = self._freeze_mask(params_template)
-        self.tx, self.lr_schedule = make_optimizer(opt_cfg, frozen_mask)
+
+        if cfg.quantize_frozen_int8:
+            # int8 frozen tower is only grad-safe where NO gradient flows
+            # through the quantized matmuls: pi0's train_expert_only fast
+            # path runs the tower forward-only under stop_gradient. Models
+            # that train THROUGH the frozen tower (MVLA metaqueries) must
+            # not quantize it — the activation-quant round() has zero
+            # gradient and would silently kill their training signal.
+            if cfg.model_type not in _QUANTIZE_FROZEN_SAFE or not getattr(
+                self.model_cfg, "train_expert_only", False
+            ):
+                raise ValueError(
+                    "quantize_frozen_int8 requires a model whose loss never "
+                    "differentiates through the frozen tower (supported: "
+                    f"{sorted(_QUANTIZE_FROZEN_SAFE)} with train_expert_only"
+                    f"=true); got model_type={cfg.model_type!r}, "
+                    "train_expert_only="
+                    f"{getattr(self.model_cfg, 'train_expert_only', False)}"
+                )
 
         # Mixed fine-tune precision: frozen subtrees carry no optimizer state
         # and never update, so fp32 masters buy nothing — store them bf16
@@ -188,18 +212,36 @@ class Trainer:
         # Halves HBM for the frozen 3B VLM in expert-only fine-tunes; this is
         # also exactly what bench.py --mode train measures.
         if frozen_mask is not None and cfg.use_bf16:
+            fp_mask = frozen_mask
+
             def _cast(x, trainable):
                 return x if trainable else x.astype(jnp.bfloat16)
 
-            def model_init(k):
+            def fp_init(k):
                 return jax.tree.map(
-                    _cast, self.model.init(k, self.model_cfg), frozen_mask
+                    _cast, self.model.init(k, self.model_cfg), fp_mask
                 )
-
-            params_template = jax.eval_shape(model_init, jax.random.key(cfg.seed))
         else:
-            def model_init(k):
+            def fp_init(k):
                 return self.model.init(k, self.model_cfg)
+
+        if cfg.quantize_frozen_int8:
+            # frozen tower kernels -> int8 (W8A8 on the MXU: ~2x bf16
+            # prefill throughput); the trainable expert stays float. The
+            # param tree structure changes (kernel -> kernel_q/kernel_scale
+            # under frozen blocks), so the freeze mask and optimizer are
+            # built on the quantized template.
+            fp_mask_q = frozen_mask
+
+            def model_init(k):
+                return cm.quantize_frozen(fp_init(k), fp_mask_q)
+        else:
+            model_init = fp_init
+
+        params_template = jax.eval_shape(model_init, jax.random.key(cfg.seed))
+        if cfg.quantize_frozen_int8:
+            frozen_mask = self._freeze_mask(params_template)
+        self.tx, self.lr_schedule = make_optimizer(opt_cfg, frozen_mask)
 
         # ---- params: init sharded on the mesh (never materialized on one
         # device — jit with out_shardings does a sharded init) ----
@@ -208,6 +250,21 @@ class Trainer:
         p_shardings = param_shardings(params_template, self.mesh)
         init_fn = jax.jit(model_init, out_shardings=p_shardings)
         params = init_fn(jax.random.key(cfg.seed))
+
+        # float-checkpoint loading support for the quantized mode: restore
+        # into the pre-quant template, then quantize on device
+        self._prequant = None
+        if cfg.quantize_frozen_int8:
+            fp_template = jax.eval_shape(fp_init, jax.random.key(cfg.seed))
+            fp_shardings = param_shardings(fp_template, self.mesh)
+            self._prequant = (
+                fp_template,
+                fp_shardings,
+                jax.jit(
+                    lambda p: cm.quantize_frozen(p, fp_mask_q),
+                    out_shardings=p_shardings,
+                ),
+            )
 
         state = init_train_state(params, self.tx, seed=cfg.seed)
         self.shardings = state_shardings(state, self.mesh)
@@ -429,9 +486,21 @@ class Trainer:
         return path
 
     def _load(self, path: str, resume_run: bool):
-        self.state, aux = ckpt.restore_train_state(
-            path, self.state, self.shardings, resume_run=resume_run
-        )
+        if self._prequant is not None and not resume_run:
+            # quantize_frozen_int8 + fresh fine-tune: the checkpoint holds
+            # FLOAT pretrained params — restore into the pre-quant template
+            # and quantize the frozen tower on device. (Resume checkpoints
+            # were written by this run's config and are already quantized.)
+            fp_template, fp_shardings, quantize_fn = self._prequant
+            self.state, aux = ckpt.restore_train_state(
+                path, self.state, self.shardings, resume_run=False,
+                params_template=fp_template, params_shardings=fp_shardings,
+                params_transform=quantize_fn,
+            )
+        else:
+            self.state, aux = ckpt.restore_train_state(
+                path, self.state, self.shardings, resume_run=resume_run
+            )
         self.cnt_update = int(aux.get("cnt_update", 0)) if resume_run else 0
         self.logger.info("restored %s (resume=%s, update=%d)", path, resume_run, self.cnt_update)
 

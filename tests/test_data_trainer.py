@@ -191,6 +191,117 @@ class TestMixedFinetunePrecision:
         assert trainer.cnt_update == 1
 
 
+class TestQuantizeFrozenInt8:
+    """quantize_frozen_int8: expert-only fine-tunes store the frozen tower's
+    block kernels int8 (W8A8 forward on the int8 MXU); the trainable expert
+    keeps fp32 masters. Grad-safe only because pi0's train_expert_only path
+    never differentiates through the tower."""
+
+    def _patch_tiny(self, monkeypatch, train_expert_only=True):
+        import dataclasses as _dc
+
+        from intact_tpu.config import pipeline as cp
+        from intact_tpu.models.pi0.config import Pi0Config
+
+        monkeypatch.setattr(
+            cp, "pi0_config_from_json",
+            lambda d: _dc.replace(Pi0Config.tiny(), train_expert_only=train_expert_only),
+        )
+
+    def _cfg(self, log_dir, **kw):
+        cfg = TrainPipelineConfig(
+            name="q8_frozen",
+            model_cfg={"type": "pi0"},
+            global_batch_size=2,
+            per_device_batch_size=1,
+            n_updates=1,
+            log_freq=1,
+            use_bf16=True,
+            **kw,
+        )
+        cfg.log_dir = log_dir
+        return cfg
+
+    def test_frozen_tower_int8_expert_float_and_step_runs(self, tmp_path, monkeypatch):
+        import jax.numpy as jnp
+
+        self._patch_tiny(monkeypatch)
+        from intact_tpu.train.trainer import Trainer
+
+        trainer = Trainer(self._cfg(tmp_path, quantize_frozen_int8=True))
+        p = trainer.state.params
+        # frozen tower: block kernels are int8 + per-channel scales
+        assert p["vlm"]["blocks"]["attn"]["q"]["kernel_q"].dtype == jnp.int8
+        assert "kernel_scale" in p["vlm"]["blocks"]["attn"]["q"]
+        assert p["siglip"]["blocks"]["mlp"]["fc1"]["kernel_q"].dtype == jnp.int8
+        # trainable expert: untouched fp32 masters
+        assert p["expert"]["blocks"]["attn"]["q"]["kernel"].dtype == jnp.float32
+        assert p["action_out_proj"]["kernel"].dtype == jnp.float32
+        # non-block frozen leaves (embeddings, norms) stay float (bf16 cast)
+        assert p["vlm_embed"]["embedding"].dtype == jnp.bfloat16
+
+        frozen_before = np.asarray(p["vlm"]["blocks"]["attn"]["q"]["kernel_q"])
+        expert_before = np.asarray(p["expert"]["blocks"]["attn"]["q"]["kernel"])
+        trainer.train()
+        assert trainer.cnt_update == 1
+        p = trainer.state.params
+        np.testing.assert_array_equal(
+            np.asarray(p["vlm"]["blocks"]["attn"]["q"]["kernel_q"]), frozen_before
+        )
+        assert not np.array_equal(
+            np.asarray(p["expert"]["blocks"]["attn"]["q"]["kernel"]), expert_before
+        ), "expert did not update"
+
+    def test_rejects_models_that_train_through_the_tower(self, tmp_path, monkeypatch):
+        # pi0 WITHOUT train_expert_only differentiates through the tower —
+        # the activation-quant round() would silently kill that signal
+        self._patch_tiny(monkeypatch, train_expert_only=False)
+        from intact_tpu.train.trainer import Trainer
+
+        with pytest.raises(ValueError, match="quantize_frozen_int8"):
+            Trainer(self._cfg(tmp_path, quantize_frozen_int8=True))
+
+    def test_float_checkpoint_quantized_on_load(self, tmp_path, monkeypatch):
+        """load_from_checkpoint with a FLOAT pretrained checkpoint: params
+        restore into the pre-quant template and the frozen tower quantizes
+        on device (the production fine-tune entry path)."""
+        self._patch_tiny(monkeypatch)
+        from intact_tpu.train.trainer import Trainer
+
+        float_trainer = Trainer(self._cfg(tmp_path / "float"))
+        float_trainer.train()  # writes step_1
+        ref_kernel = np.asarray(
+            float_trainer.state.params["vlm"]["blocks"]["attn"]["q"]["kernel"],
+            dtype=np.float32,
+        )
+
+        cfg = self._cfg(tmp_path / "q8", quantize_frozen_int8=True)
+        cfg.load_from_checkpoint = str(float_trainer.ckpt_root)
+        cfg.resume_run = False
+        cfg.finalize()
+        qt = Trainer(cfg)
+        assert qt.cnt_update == 0  # fresh fine-tune, not a resume
+        node = qt.state.params["vlm"]["blocks"]["attn"]["q"]
+        kq = np.asarray(node["kernel_q"], dtype=np.float32)
+        scale = np.asarray(node["kernel_scale"], dtype=np.float32)
+        dequant = kq * scale[:, None, :]
+        # int8 round-trip error is bounded by half a quantization step
+        assert np.all(np.abs(dequant - ref_kernel) <= scale[:, None, :] * 0.51 + 1e-7)
+
+        # resume of a QUANTIZED run restores the quantized structure directly
+        kq_before = np.asarray(node["kernel_q"])  # copy: train() donates state
+        qt.train()  # writes its own (quantized) step_1
+        cfg2 = self._cfg(tmp_path / "q8_resume", quantize_frozen_int8=True)
+        cfg2.load_from_checkpoint = str(qt.ckpt_root)
+        cfg2.finalize()
+        qt2 = Trainer(cfg2)
+        assert qt2.cnt_update == 1
+        np.testing.assert_array_equal(
+            np.asarray(qt2.state.params["vlm"]["blocks"]["attn"]["q"]["kernel_q"]),
+            kq_before,
+        )
+
+
 class TestUncommittedCheckpointGuard:
     def test_only_uncommitted_step_dirs_raise(self, tmp_path):
         """A crash-truncated step dir (no auxiliary_data.json commit marker)
