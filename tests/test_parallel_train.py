@@ -191,6 +191,129 @@ class TestTrainStep:
         assert max(jax.tree.leaves(d)) > 0.0
 
 
+def _expert_only_mask(params):
+    """Bool mask (True=trainable) for a pi0 expert-only fine-tune: frozen
+    SigLIP+VLM tower, trainable expert + glue heads (trainer._freeze_mask)."""
+    mask = jax.tree.map(lambda _: False, params)
+    for name in ("expert", "state_proj", "action_in_proj", "time_mlp_in",
+                 "time_mlp_out", "action_out_proj"):
+        if name in mask:
+            mask[name] = jax.tree.map(lambda _: True, mask[name])
+    return mask
+
+
+class TestQuantizedFrozenSharded:
+    """quantize_frozen_int8 on the mesh: int8 kernel_q leaves shard under
+    the same rules as float kernels, and the sharded quantized train step
+    matches the single-device quantized step."""
+
+    def test_kernel_q_sharding_rules(self):
+        cfg = Pi0Config.tiny()
+        params = pi0.init(jax.random.key(0), cfg)
+        qparams = cm.quantize_frozen(params, _expert_only_mask(params))
+        mesh = make_mesh(MeshConfig(data=1, fsdp=2, tensor=4))
+        sh = param_shardings(qparams, mesh)
+        assert tuple(sh["vlm"]["blocks"]["mlp"]["gate"]["kernel_q"].spec) == \
+            (None, "fsdp", "tensor")
+        assert tuple(sh["vlm"]["blocks"]["attn"]["o"]["kernel_q"].spec) == \
+            (None, "tensor", "fsdp")
+        # trainable expert kernels untouched by quantization, still sharded
+        assert tuple(sh["expert"]["blocks"]["mlp"]["gate"]["kernel"].spec) == \
+            (None, "fsdp", "tensor")
+        jax.tree.map(lambda p, s: jax.device_put(p, s), qparams, sh)
+
+    def test_quantized_sharded_step_matches_single_device(self):
+        import dataclasses
+
+        cfg = dataclasses.replace(Pi0Config.tiny(), train_expert_only=True)
+        params = pi0.init(jax.random.key(0), cfg)
+        fp_mask = _expert_only_mask(params)
+        qparams = cm.quantize_frozen(params, fp_mask)
+        q_mask = _expert_only_mask(qparams)  # rebuilt over kernel_q structure
+
+        opt_cfg = OptimizerConfig(lr=1e-3, warmup_steps=1, first_cycle_steps=100)
+        tx, _ = make_optimizer(opt_cfg, frozen_mask=q_mask)
+
+        def loss_fn(p, key, batch):
+            return pi0.compute_loss(p, key, batch, cfg, FP32)
+
+        batch = make_batch(cfg, b=8)
+        step = make_train_step(loss_fn, tx, FP32, trainable_mask=q_mask)
+
+        ref_state, ref_metrics = jax.jit(step)(
+            init_train_state(qparams, tx, seed=0), batch
+        )
+
+        mesh = make_mesh(MeshConfig(data=2, fsdp=2, tensor=2))
+        state = init_train_state(qparams, tx, seed=0)
+        sh = state_shardings(state, mesh)
+        state = jax.device_put(state, sh)
+        sharded_batch = jax.device_put(batch, batch_sharding(mesh))
+        sharded_step = jit_train_step(step, mesh, sh, batch_sharding(mesh))
+        new_state, metrics = sharded_step(state, sharded_batch)
+
+        np.testing.assert_allclose(
+            float(metrics["l2_loss"]), float(ref_metrics["l2_loss"]), rtol=1e-4
+        )
+        # int8 tower bit-identical on both paths; expert update matches
+        np.testing.assert_array_equal(
+            np.asarray(new_state.params["vlm"]["blocks"]["attn"]["q"]["kernel_q"]),
+            np.asarray(qparams["vlm"]["blocks"]["attn"]["q"]["kernel_q"]),
+        )
+        d = jax.tree.map(
+            lambda a, b: float(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)).max()),
+            new_state.params["expert"], ref_state.params["expert"],
+        )
+        assert max(jax.tree.leaves(d)) < 1e-4
+
+
+class TestFrozenWithAccumulation:
+    def test_accumulator_covers_only_trainable_leaves(self):
+        """MultiSteps sits INSIDE the trainable partition (optim.py): with a
+        frozen tower + accumulation, the accumulator (+Adam moments) buffers
+        cover only trainable leaves — 3x trainable bytes, NOT +1x total."""
+        cfg = Pi0Config.tiny()
+        params = pi0.init(jax.random.key(0), cfg)
+        mask = _expert_only_mask(params)
+        opt_cfg = OptimizerConfig(lr=1e-3, warmup_steps=1, first_cycle_steps=100,
+                                  grad_accumulation_steps=2)
+        tx, _ = make_optimizer(opt_cfg, frozen_mask=mask)
+        state = init_train_state(params, tx, seed=0)
+
+        trainable_bytes = sum(
+            leaf.size * 4
+            for leaf, m in zip(jax.tree.leaves(params), jax.tree.leaves(mask))
+            if m
+        )
+        opt_bytes = sum(
+            np.asarray(leaf).nbytes for leaf in jax.tree.leaves(state.opt_state)
+        )
+        # mu + nu + acc_grads = 3x trainable (+ tiny counters); if the
+        # accumulator covered the whole tree this would exceed 3x by ~1x
+        # of the (much larger) frozen tower
+        assert opt_bytes < 3 * trainable_bytes + 4096
+
+        def loss_fn(p, key, batch):
+            return pi0.compute_loss(p, key, batch, cfg, FP32)
+
+        step = jax.jit(make_train_step(loss_fn, tx, FP32, trainable_mask=mask))
+        batch = make_batch(cfg, b=4)
+        s1, _ = step(state, batch)
+        d = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), s1.params, params)
+        assert max(jax.tree.leaves(d)) == 0.0  # still accumulating
+        s2, _ = step(s1, make_batch(cfg, b=4, seed=2))
+        frozen_d = jax.tree.map(
+            lambda a, b: float(jnp.abs(a - b).max()),
+            s2.params["siglip"], params["siglip"],
+        )
+        assert max(jax.tree.leaves(frozen_d)) == 0.0
+        live_d = jax.tree.map(
+            lambda a, b: float(jnp.abs(a - b).max()),
+            s2.params["expert"], params["expert"],
+        )
+        assert max(jax.tree.leaves(live_d)) > 0.0
+
+
 class TestShardedServing:
     def test_policy_on_mesh_matches_single_device(self):
         """Pi0Policy(mesh=...) shards params (fsdp/tensor) and batches
