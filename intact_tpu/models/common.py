@@ -80,10 +80,12 @@ def _dense_int8(p: Params, x: jnp.ndarray, policy: DtypePolicy) -> jnp.ndarray:
 
     INTACT_TPU_PALLAS_INT8=1 opts into the fused Pallas kernel
     (ops/pallas_int8.w8a8_matmul: quantize + dot + rescale in one VMEM
-    pipeline). It wins microbenchmarks (1.26x the XLA lowering at
-    M=1024 K=N=2048) but LOSES at full-model shapes (280 vs 510 policy
-    steps/s end to end on v5e) — some model shape hits a slow Mosaic
-    lowering — so the XLA path stays the default until that is profiled."""
+    pipeline). Round-3 per-shape profiling (scripts/profile_int8_shapes.py)
+    settled why it loses end to end (280 vs 510 policy steps/s): XLA
+    quantizes x once over full K then K-tiles a plain int8 matmul, while
+    the fused kernel re-fetches/re-quantizes x per N-block — HBM-bound at
+    the gemma mlp (N=16384) and siglip-down (K=4304) shapes. XLA is the
+    default; see the pallas_int8 module docstring for the measured table."""
     import os
 
     if (

@@ -1,18 +1,29 @@
 """Pallas fused W8A8 matmul: per-token activation quantization + int8 MXU
 dot + rescale in one kernel.
 
-The XLA int8 path (models/common._dense_int8) materializes quantized
-activations and scales in HBM between ops; fusing them into the matmul's
-VMEM pipeline measures ~1.26x faster than the XLA lowering and ~2.2x over
-the bf16 matmul at serving shapes (v5e, M=1024 K=N=2048).
+STATUS (round-3 profiling, scripts/profile_int8_shapes.py on v5e): the XLA
+int8 lowering (models/common._dense_int8) WINS or ties at every pi0-3B
+serving shape — this kernel stays opt-in (INTACT_TPU_PALLAS_INT8=1).
+Measured pallas/xla time ratios with loop-chained timing (an earlier
+"1.26x pallas win" microbenchmark was an artifact: the un-chained loop let
+XLA hoist the loop-invariant matmul):
 
-Quantization granularity: activations are quantized per (row, K-chunk) —
-one abs-max scale per row per 2048-wide K slab, accumulated in fp32 across
-slabs. This is FINER than the XLA path's per-row scale (strictly more
-accurate); weights keep per-output-channel scales (models/common.quantize_dense).
+    M=320    decode shapes              ~1.0-1.1x (launch-overhead bound)
+    M=16384  K=1152 N=1152 (siglip qkv) ~1.05-1.25x
+    M=16384  K=4304 (siglip mlp down)   ~1.5-1.9x  <- worst
+    M=20992  K=2048 N=16384 (gemma up)  ~1.1-1.3x (tuned 512/512+)
 
-Used by models/common.dense for int8 params on TPU; XLA path remains the
-fallback (CPU, odd shapes).
+Why XLA wins: it quantizes x ONCE per row over the full K (one int8
+HBM round-trip) and then runs a plain int8 matmul with its own K-tiling;
+this kernel re-quantizes each (row, bk) slab and re-fetches x once per
+N-block — at N=16384 that re-read is pure HBM overhead, and at K=4304+
+the per-slab abs-max/round VPU work repeats n_blocks times. Beating that
+would require persisting x blocks across grid steps, which the (m, n, k)
+revisit pattern cannot express.
+
+Quantization granularity: per (row, K-chunk) — finer than the XLA path's
+per-row scale (strictly more accurate); weights keep per-output-channel
+scales (models/common.quantize_dense).
 """
 
 from __future__ import annotations
@@ -65,19 +76,23 @@ def _pad_to(x, axis, multiple):
     return jnp.pad(x, pad)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "block_m", "block_n",
+                                              "block_k"))
 def w8a8_matmul(
     x: jnp.ndarray,  # [M, K] float (bf16/f32)
     wq: jnp.ndarray,  # [K, N] int8
     wscale: jnp.ndarray,  # [N] fp32 per-output-channel scales
     interpret: bool = False,
+    block_m: int | None = None,
+    block_n: int | None = None,
+    block_k: int | None = None,
 ) -> jnp.ndarray:
     """-> [M, N] in x.dtype. Pads M/N/K to block multiples internally."""
     m, k = x.shape
     n = wq.shape[1]
-    bm = min(BLOCK_M, -(-m // 8) * 8)
-    bn = min(BLOCK_N, -(-n // 128) * 128)
-    bk = min(BLOCK_K, -(-k // 128) * 128)
+    bm = min(block_m or BLOCK_M, -(-m // 8) * 8)
+    bn = min(block_n or BLOCK_N, -(-n // 128) * 128)
+    bk = min(block_k or BLOCK_K, -(-k // 128) * 128)
 
     xp = _pad_to(_pad_to(x, 0, bm), 1, bk)
     wqp = _pad_to(_pad_to(wq, 0, bk), 1, bn)
@@ -101,6 +116,10 @@ def w8a8_matmul(
             ],
             out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),
                                    memory_space=pltpu.VMEM),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            # m/n blocks are independent; only k revisits an output block
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
