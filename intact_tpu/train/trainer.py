@@ -276,6 +276,16 @@ class Trainer:
         def loss_fn(p, key, batch):
             return self.model.compute_loss(p, key, batch, self.model_cfg, self.policy)
 
+        if cfg.remat and getattr(self.model_cfg, "train_expert_only", False):
+            # the frozen-prefix fast path compiles no tower backward, so
+            # remat stores ~nothing and costs ~2x step time (46.3 vs 89.6
+            # samples/s on v5e at batch 48) — worth a loud hint
+            self.logger.warning(
+                "remat=true with train_expert_only: the fast path has no "
+                "tower backward, rematerialization is pure recompute "
+                "(~2x step time) — set remat: false unless memory-bound"
+            )
+
         self.train_step = jit_train_step(
             make_train_step(loss_fn, self.tx, self.policy, remat=cfg.remat,
                             trainable_mask=frozen_mask),
