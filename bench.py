@@ -149,12 +149,11 @@ def bench_train(args) -> int:
 
     import numpy as np
 
-    # drain the device queue with real readbacks before the first jit call
-    # (tunnel slow path — see the serve-mode comment below)
-    _smallest = min(jax.tree.leaves(params), key=lambda x: x.size)
-    _ = float(np.asarray(_smallest).ravel()[0])
-    for _x in batch.values():
-        np.asarray(_x)
+    # drain the device queue before the first jit call (tunnel slow path —
+    # see intact_tpu.utils.device.drain_device_queue)
+    from intact_tpu.utils.device import drain_device_queue
+
+    drain_device_queue((params, batch))
 
     t0 = time.time()
     state, metrics = step(state, batch)
@@ -486,17 +485,12 @@ def main() -> int:
 
     import numpy as np
 
-    # Drain the device queue with REAL host readbacks before the first jit
-    # call. Through the tunneled TPU, block_until_ready can return early, and
-    # lowering the big graph while init/batch programs are still in flight
-    # hits a pathological tunnel slow path: the device_get of the closed-over
-    # constants stalls 100-300 s (measured: lower() 103.8 s with the queue
-    # busy vs 0.2 s drained — this was the entire round-2 "11x cold-compile
-    # regression"). On a real TPU VM these readbacks cost milliseconds.
-    _smallest = min(jax.tree.leaves(params), key=lambda x: x.size)
-    _ = float(np.asarray(_smallest).ravel()[0])
-    for _x in (images, img_masks, lang_tokens, lang_masks, state):
-        np.asarray(_x)
+    # Drain the device queue before the first jit call (tunnel slow path:
+    # lowering while init/batch programs are in flight stalls 100-300 s —
+    # the round-2 "11x cold-compile regression"; see the helper docstring).
+    from intact_tpu.utils.device import drain_device_queue
+
+    drain_device_queue((params, images, img_masks, lang_tokens, lang_masks, state))
 
     # params passed explicitly: closing over concrete params would bake GBs
     # of constants into the lowered HLO

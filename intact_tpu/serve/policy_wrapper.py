@@ -126,9 +126,27 @@ class BasePolicyWrapper:
     def infer_batch(self, items: list[tuple[dict, PolicySession]]):
         """THE fuse contract: N (inputs, session) pairs -> N results in
         order, each an env-action array or an Exception (one client's
-        failing postprocess must not kill co-batched neighbors). Default:
-        per-item serial inference (families without a fused device path,
-        e.g. the upstream-HF scaffolds)."""
+        failing postprocess must not kill co-batched neighbors).
+
+        The batching server's fuse-group cap is an independent constructor
+        arg, so it may exceed this wrapper's eval_cfg.max_batch_size; split
+        oversized fuses here so no family's _infer_fused ever sees more
+        items than its compiled bucket ceiling (a fuse beyond the ceiling
+        would otherwise compute a negative pad and crash the whole group).
+        """
+        max_b = max(int(self.config.eval_cfg.max_batch_size), 1)
+        if len(items) <= max_b:
+            return self._infer_fused(items)
+        out = []
+        for start in range(0, len(items), max_b):
+            out.extend(self._infer_fused(items[start:start + max_b]))
+        return out
+
+    def _infer_fused(self, items: list[tuple[dict, PolicySession]]):
+        """Family fused-inference hook (items already capped at
+        eval_cfg.max_batch_size). Default: per-item serial inference
+        (families without a fused device path, e.g. the upstream-HF
+        scaffolds)."""
         out = []
         for inputs, session in items:
             try:
@@ -151,17 +169,18 @@ class BasePolicyWrapper:
         compile mid-traffic. Buckets that round to the same effective
         device batch (mesh-divisor padding) compile once."""
         session = self.new_session()
+        try:
+            inputs = self.warmup_inputs()
+        except NotImplementedError:
+            self.logger.info("no warmup inputs for %s; skipping prewarm",
+                             type(self).__name__)
+            return
         seen: set[int] = set()
         for b in self.bucket_sizes():
-            if self.effective_fused_size(b) in seen:
+            eff = self.effective_fused_size(b)
+            if eff in seen:
                 continue
-            seen.add(self.effective_fused_size(b))
-            try:
-                inputs = self.warmup_inputs()
-            except NotImplementedError:
-                self.logger.info("no warmup inputs for %s; skipping prewarm",
-                                 type(self).__name__)
-                return
+            seen.add(eff)
             results = self.infer_batch([(inputs, session)] * b)
             for r in results:
                 if isinstance(r, Exception):
@@ -265,7 +284,7 @@ class Pi0PolicyWrapper(BasePolicyWrapper):
             "task": ["warmup"],
         }
 
-    def infer_batch(self, items):
+    def _infer_fused(self, items):
         """Fuse N requests' {image, state, task} into bucketed
         sample_action_chunk calls, then scatter per-item postprocess.
         Requests may carry >1 row each (vectorized ManiSkill3 adapters);
@@ -452,7 +471,7 @@ class OctoPolicyWrapper(BasePolicyWrapper):
             "task": ["warmup"],
         }
 
-    def infer_batch(self, items):
+    def _infer_fused(self, items):
         """Fuse N requests' {images, img_masks, state, task} (history
         stacking already done per-session) into one bucketed diffusion
         sample; scatter per-item postprocess."""
@@ -746,7 +765,7 @@ class SpatialVLANativePolicyWrapper(BasePolicyWrapper):
             "task": ["warmup"],
         }
 
-    def infer_batch(self, items):
+    def _infer_fused(self, items):
         """Fuse N requests into one spatial-token decode; per-item chunk
         decode + per-session ensembling + postprocess."""
         cfg = self.model_cfg
@@ -935,7 +954,7 @@ class MagmaNativePolicyWrapper(BasePolicyWrapper):
             "task": ["warmup"],
         }
 
-    def infer_batch(self, items):
+    def _infer_fused(self, items):
         """Fuse N requests into one batched greedy decode; per-item token
         de-discretization + quantile denorm + postprocess."""
         from intact_tpu.serve.decoding import (

@@ -190,7 +190,23 @@ def restore_train_state(
             lambda t: jax.ShapeDtypeStruct(t.shape, t.dtype), template_state.opt_state
         )
     with ocp.StandardCheckpointer() as ckptr:
-        opt_state = ckptr.restore(path / "opt_state", opt_target)
+        try:
+            opt_state = ckptr.restore(path / "opt_state", opt_target)
+        except Exception as e:
+            # the likeliest structural mismatch: checkpoints written before
+            # MultiSteps moved INSIDE the multi_transform partition (so the
+            # accumulator only covers trainable params) have
+            # MultiStepsState(inner=multi_transform(...)) on disk while the
+            # live template is multi_transform(train=MultiSteps(...))
+            raise RuntimeError(
+                f"opt_state restore from {path} failed with a structure "
+                "mismatch. If this checkpoint was written with "
+                "grad_accumulation_steps>1 AND a frozen mask by a build "
+                "where MultiSteps wrapped the whole chain (outside "
+                "multi_transform), its opt_state tree no longer matches. "
+                "Resume params-only instead: pass resume_run=False / "
+                "--train.resume false (optimizer restarts fresh)."
+            ) from e
 
     aux_file = path / "auxiliary_data.json"
     aux = json.loads(aux_file.read_text()) if aux_file.exists() else {}

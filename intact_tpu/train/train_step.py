@@ -115,10 +115,18 @@ def make_train_step(
         (loss, aux), grads = value_and_grad_params(state.params, step_key, batch)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        # param_norm over float leaves only: int8 kernel_q leaves (the
+        # quantize_frozen_int8 tower) would square in int8 arithmetic,
+        # wrap negative, and turn the whole norm into NaN.
+        float_params = [
+            p
+            for p in jax.tree_util.tree_leaves(params)
+            if jnp.issubdtype(p.dtype, jnp.floating)
+        ]
         metrics = {
             "l2_loss": loss,
             "grad_norm": optax.global_norm(grads),
-            "param_norm": optax.global_norm(params),
+            "param_norm": optax.global_norm(float_params),
         }
         for k, v in aux.items():
             if jnp.ndim(v) == 0:

@@ -242,8 +242,21 @@ class TestQuantizeFrozenInt8:
 
         frozen_before = np.asarray(p["vlm"]["blocks"]["attn"]["q"]["kernel_q"])
         expert_before = np.asarray(p["expert"]["blocks"]["attn"]["q"]["kernel"])
+        captured = {}
+        orig_step = trainer.train_step
+
+        def spy(state, batch):
+            state, m = orig_step(state, batch)
+            captured.update(m)
+            return state, m
+
+        trainer.train_step = spy
         trainer.train()
         assert trainer.cnt_update == 1
+        # param_norm must skip the int8 kernel_q leaves: squaring them in
+        # int8 arithmetic wraps negative and NaNs the whole norm
+        assert np.isfinite(float(captured["param_norm"]))
+        assert np.isfinite(float(captured["grad_norm"]))
         p = trainer.state.params
         np.testing.assert_array_equal(
             np.asarray(p["vlm"]["blocks"]["attn"]["q"]["kernel_q"]), frozen_before

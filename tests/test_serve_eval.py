@@ -235,6 +235,41 @@ class TestBatchBucketing:
         assert set(wrapper.policy.sizes) <= {1, 2, 4, 8}
         assert 3 not in wrapper.policy.sizes and 5 not in wrapper.policy.sizes
 
+    def test_fuse_wider_than_max_batch_splits(self):
+        """The batching server's fuse cap is an independent constructor arg
+        and may exceed eval_cfg.max_batch_size; the base infer_batch splits
+        oversized fuses so no family ever computes a negative bucket pad."""
+        wrapper, session = _make_fused_wrapper(max_batch=4)
+        out = wrapper.infer_batch(
+            [(self._req(float(i)), session) for i in range(7)]
+        )
+        assert len(out) == 7
+        for i, a in enumerate(out):
+            np.testing.assert_allclose(a, float(i))
+        assert set(wrapper.policy.sizes) <= {1, 2, 4}
+
+    def test_fuse_wider_than_max_batch_splits_octo(self, tmp_path, monkeypatch):
+        """Regression: the Octo/SpatialVLA/Magma fuses pad to
+        effective_fused_size(n) without internal row-splitting — a fuse of
+        n > max_batch_size used to compute a NEGATIVE pad and crash the
+        whole group. The base-class split now protects every family."""
+        monkeypatch.setenv("VLA_LOG_DIR", str(tmp_path))
+        from intact_tpu.models import registry
+        from intact_tpu.serve.policy_wrapper import OctoPolicyWrapper
+
+        cfg = make_cfg(port=0, max_batch_size=2,
+                       env_adapter="OctoBridgeSimplerAdapter")
+        cfg.model_cfg = {"type": "octo_tiny"}
+        s = registry.get("octo_tiny")["default_config"]().image_size
+        cfg.env.image_size = (s, s)
+        wrapper = OctoPolicyWrapper(cfg)
+        session = wrapper.new_session()
+        inputs = wrapper.warmup_inputs()
+        out = wrapper.infer_batch([(inputs, session)] * 5)
+        assert len(out) == 5
+        for r in out:
+            assert not isinstance(r, Exception), r
+
     def test_multirow_requests_fuse_and_scatter(self):
         """Vectorized (ManiSkill3) requests carry N rows each; the fuse
         concatenates rows and the scatter splits them back per request."""
