@@ -336,3 +336,39 @@ class TestUncommittedCheckpointGuard:
         (tmp_path / "step_5" / "params").mkdir(parents=True)
         with pytest.raises(FileNotFoundError, match="uncommitted"):
             restore_train_state(tmp_path, state)
+
+    def test_opt_state_structure_mismatch_explains_itself(self, tmp_path):
+        """An opt_state whose on-disk tree no longer matches the live
+        template (e.g. checkpoints written before MultiSteps moved inside
+        the multi_transform partition) must fail with a message pointing at
+        params-only resume — not a bare Orbax tree error."""
+        import optax
+        import pytest
+
+        import jax
+        from intact_tpu.train.checkpoint import restore_train_state, save_checkpoint
+        from intact_tpu.train.train_step import init_train_state
+
+        params = {"a": jax.numpy.ones((2, 2)), "b": jax.numpy.ones((3,))}
+        mask = {"a": True, "b": False}
+        labels = jax.tree.map(lambda t: "train" if t else "freeze", mask)
+        # OLD layout: MultiSteps wraps the whole multi_transform chain
+        old_tx = optax.MultiSteps(
+            optax.multi_transform(
+                {"train": optax.adam(1e-3), "freeze": optax.set_to_zero()},
+                param_labels=labels,
+            ),
+            every_k_schedule=2,
+        )
+        save_checkpoint(tmp_path, init_train_state(params, old_tx), step=1)
+        # NEW layout: MultiSteps only wraps the trainable partition
+        new_tx = optax.multi_transform(
+            {
+                "train": optax.MultiSteps(optax.adam(1e-3), every_k_schedule=2),
+                "freeze": optax.set_to_zero(),
+            },
+            param_labels=labels,
+        )
+        template = init_train_state(params, new_tx)
+        with pytest.raises(RuntimeError, match="params-only"):
+            restore_train_state(tmp_path, template)
