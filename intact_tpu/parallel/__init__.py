@@ -11,7 +11,9 @@ compilation. No explicit communication calls appear in model code.
 from intact_tpu.parallel.mesh import MeshConfig, make_mesh
 from intact_tpu.parallel.sharding import (
     batch_sharding,
+    local_rows,
     param_shardings,
+    put_global_batch,
     replicated,
 )
 
@@ -20,5 +22,7 @@ __all__ = [
     "make_mesh",
     "param_shardings",
     "batch_sharding",
+    "put_global_batch",
+    "local_rows",
     "replicated",
 ]

@@ -72,12 +72,5 @@ def default_mesh_for(n_devices: int) -> MeshConfig:
     return MeshConfig(data=n_devices // fsdp, fsdp=fsdp, tensor=1)
 
 
-def host_local_batch(global_batch: int, mesh: Mesh) -> int:
-    n_data = mesh.shape["data"] * mesh.shape["fsdp"]
-    if global_batch % n_data:
-        raise ValueError(f"global batch {global_batch} not divisible by {n_data}")
-    return global_batch // jax.process_count()
-
-
 def ici_size(mesh: Mesh) -> int:
     return math.prod(mesh.devices.shape)

@@ -112,3 +112,40 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def put_global_batch(batch, sharding: NamedSharding):
+    """This process's host-local batch rows -> one global device array.
+
+    Single-process: a plain device_put. Multi-host: each process feeds ONLY
+    its own rows (the data pipeline shards episodes by process and batches
+    at micro_batch/process_count), and the global array is assembled from
+    process-local data — no host ever decodes/tokenizes rows another host's
+    devices will consume. Replaces the reference's DistributedSampler +
+    per-rank DataLoader split (src/agent/trainer.py:144-163) without any
+    cross-host gather: rows land directly on the local devices.
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(batch, sharding)
+    import numpy as np
+
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)
+        ),
+        batch,
+    )
+
+
+def local_rows(global_array) -> "jax.Array":
+    """This process's rows of a batch-sharded global array, concatenated in
+    global-position order (the order put_global_batch consumed the host
+    batch). Deduplicates replicated shards (e.g. the tensor axis)."""
+    import numpy as np
+
+    seen: dict[int, np.ndarray] = {}
+    for s in global_array.addressable_shards:
+        start = s.index[0].start or 0
+        if start not in seen:
+            seen[start] = np.asarray(s.data)
+    return np.concatenate([seen[k] for k in sorted(seen)])

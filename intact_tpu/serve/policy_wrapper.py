@@ -158,6 +158,32 @@ class BasePolicyWrapper:
     def _infer_one(self, inputs: dict, session: PolicySession) -> np.ndarray:
         raise NotImplementedError
 
+    def _fuse_pad(self, items, keys):
+        """Shared fuse assembly for the single-row AR/diffusion families:
+        concat each `keys` array across items, replicate the last row up to
+        effective_fused_size, and pad the task list to match. Returns
+        (arrays_by_key, padded_tasks)."""
+        n = len(items)
+        pad = self.effective_fused_size(n) - n
+        arrays = {}
+        for key in keys:
+            arr = np.concatenate([it[0][key] for it in items])
+            if pad:
+                arr = np.concatenate([arr, np.repeat(arr[-1:], pad, axis=0)])
+            arrays[key] = arr
+        tasks = [it[0]["task"][0] for it in items]
+        return arrays, tasks + [tasks[-1]] * pad
+
+    def _put_device(self, arr):
+        """Host array -> device, through the fused-batch sharding when the
+        wrapper serves over a mesh (families set self._batch_sharding)."""
+        import jax
+
+        sharding = getattr(self, "_batch_sharding", None)
+        if sharding is None:
+            return jax.numpy.asarray(arr)
+        return jax.device_put(jax.numpy.asarray(arr), sharding)
+
     def warmup_inputs(self) -> dict:
         """One post-preprocess request the server can replicate to compile
         every fused-batch bucket before accepting traffic."""
@@ -253,6 +279,11 @@ class Pi0PolicyWrapper(BasePolicyWrapper):
 
             m = config.mesh
             mesh = make_mesh(MeshConfig(m.data, m.fsdp, m.tensor))
+        # effective_fused_size/prewarm read self.mesh: without it, buckets
+        # that round to the same mesh-padded device batch would each issue
+        # a redundant warm inference (the policy re-rounds internally, so
+        # inference itself was already correct)
+        self.mesh = mesh
         self.policy = Pi0Policy(
             self.model_cfg, seed=config.seed, use_bf16=config.use_bf16,
             model_module=model_module,
@@ -477,23 +508,13 @@ class OctoPolicyWrapper(BasePolicyWrapper):
         sample; scatter per-item postprocess."""
         jnp, jax = self._jnp, self._jax
         cfg = self.model_cfg
-        n = len(items)
-        pad = self.effective_fused_size(n) - n
-
-        def fused(key):
-            arr = np.concatenate([it[0][key] for it in items])
-            if pad:
-                arr = np.concatenate([arr, np.repeat(arr[-1:], pad, axis=0)])
-            return arr
-
-        tasks = [it[0]["task"][0] for it in items]
-        tasks = tasks + [tasks[-1]] * pad
+        arrays, tasks = self._fuse_pad(items, ("images", "img_masks", "state"))
         lang_tokens, lang_masks = self.tokenizer(tasks, cfg.max_lang_tokens)
         self._rng, key = jax.random.split(self._rng)
         chunk = np.asarray(self._sample(
-            self.params, key, jnp.asarray(fused("images")),
-            jnp.asarray(fused("img_masks")), jnp.asarray(lang_tokens),
-            jnp.asarray(lang_masks), jnp.asarray(fused("state")),
+            self.params, key, jnp.asarray(arrays["images"]),
+            jnp.asarray(arrays["img_masks"]), jnp.asarray(lang_tokens),
+            jnp.asarray(lang_masks), jnp.asarray(arrays["state"]),
         ))
 
         out = []
@@ -769,29 +790,12 @@ class SpatialVLANativePolicyWrapper(BasePolicyWrapper):
         """Fuse N requests into one spatial-token decode; per-item chunk
         decode + per-session ensembling + postprocess."""
         cfg = self.model_cfg
-        n = len(items)
-        pad = self.effective_fused_size(n) - n
-
-        def fused(key):
-            arr = np.concatenate([it[0][key] for it in items])
-            if pad:
-                arr = np.concatenate([arr, np.repeat(arr[-1:], pad, axis=0)])
-            if self._batch_sharding is not None:
-                arr = self._jax.device_put(
-                    self._jax.numpy.asarray(arr), self._batch_sharding
-                )
-            return arr
-
-        tasks = [it[0]["task"][0] for it in items]
-        tasks = tasks + [tasks[-1]] * pad
+        arrays, tasks = self._fuse_pad(items, ("image", "depth"))
         lang_tokens, lang_masks = self.tokenizer(tasks, cfg.tokenizer_max_length)
-        if self._batch_sharding is not None:
-            lang_tokens, lang_masks = (
-                self._jax.device_put(self._jax.numpy.asarray(x), self._batch_sharding)
-                for x in (lang_tokens, lang_masks)
-            )
         ids = np.asarray(self._predict(
-            self.params, fused("image"), fused("depth"), lang_tokens, lang_masks
+            self.params, self._put_device(arrays["image"]),
+            self._put_device(arrays["depth"]),
+            self._put_device(lang_tokens), self._put_device(lang_masks),
         ))
 
         out = []
@@ -963,21 +967,12 @@ class MagmaNativePolicyWrapper(BasePolicyWrapper):
         )
 
         cfg = self.model_cfg
-        n = len(items)
-        pad = self.effective_fused_size(n) - n
-        images = np.concatenate([it[0]["image"] for it in items])
-        tasks = [it[0]["task"][0] for it in items]
-        if pad:
-            images = np.concatenate([images, np.repeat(images[-1:], pad, axis=0)])
-            tasks = tasks + [tasks[-1]] * pad
+        arrays, tasks = self._fuse_pad(items, ("image",))
         tokens, masks = self._magma.build_prompt(self.tokenizer, tasks, cfg)
-        if self._batch_sharding is not None:
-            jax = self._jax
-            images, tokens, masks = (
-                jax.device_put(jax.numpy.asarray(x), self._batch_sharding)
-                for x in (images, tokens, masks)
-            )
-        out_ids = np.asarray(self._generate(self.params, images, tokens, masks))
+        out_ids = np.asarray(self._generate(
+            self.params, self._put_device(arrays["image"]),
+            self._put_device(tokens), self._put_device(masks),
+        ))
 
         out = []
         for i, (inputs, session) in enumerate(items):

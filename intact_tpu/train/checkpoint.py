@@ -58,6 +58,20 @@ def save_checkpoint(
     callers with accumulation must pass the update count explicitly."""
     step = int(state.step) if step is None else int(step)
     path = step_dir(ckpt_root, step).resolve()
+    if path.exists() and any(path.iterdir()):
+        # Orbax refuses to overwrite an existing item dir, so a stale
+        # step dir — typically the partial leftovers of a crash mid-save
+        # that resume correctly skipped — would crash every retry at the
+        # same update. Decommit FIRST (remove the marker), then clear:
+        # a crash mid-removal still leaves the dir uncommitted.
+        import logging
+        import shutil
+
+        logging.getLogger("intact_tpu.checkpoint").warning(
+            "overwriting existing step dir %s (stale partial save?)", path
+        )
+        (path / "auxiliary_data.json").unlink(missing_ok=True)
+        shutil.rmtree(path)
     path.mkdir(parents=True, exist_ok=True)
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(path / "params", jax.tree.map(lambda x: x, state.params))

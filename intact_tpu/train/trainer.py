@@ -176,6 +176,17 @@ class Trainer:
         opt_cfg = optimizer_config_from_model_json(cfg.model_cfg, cfg)
         n_batch_devices = self.mesh.shape["data"] * self.mesh.shape["fsdp"]
         accum = max(1, cfg.global_batch_size // (cfg.per_device_batch_size * n_batch_devices))
+        effective_global = accum * cfg.per_device_batch_size * n_batch_devices
+        if effective_global != cfg.global_batch_size:
+            raise ValueError(
+                f"global_batch_size={cfg.global_batch_size} is not a "
+                f"multiple of the micro batch "
+                f"{cfg.per_device_batch_size * n_batch_devices} "
+                f"(per_device_batch_size={cfg.per_device_batch_size} x "
+                f"{n_batch_devices} data*fsdp devices); training would "
+                f"silently run at effective global batch {effective_global}. "
+                "Adjust global_batch_size or per_device_batch_size."
+            )
         import dataclasses as _dc
 
         opt_cfg = _dc.replace(opt_cfg, grad_accumulation_steps=accum)
@@ -313,15 +324,26 @@ class Trainer:
                 "action": stats.get("action"),
                 "proprio": stats.get("observation.state"),
             }
+        # each host builds ONLY the rows its devices consume: the dataset is
+        # already sharded by process, so batching it at the host-local size
+        # (micro/process_count) and assembling the global array from
+        # process-local data keeps the host pipeline's throughput budget
+        # per-host constant as the pod grows
+        if self.micro_batch_size % jax.process_count():
+            raise ValueError(
+                f"micro batch {self.micro_batch_size} not divisible by "
+                f"{jax.process_count()} processes"
+            )
+        self.host_batch_size = self.micro_batch_size // jax.process_count()
         self.train_data = InterleavedDataset(
-            cfg.data, self.micro_batch_size, split="train",
+            cfg.data, self.host_batch_size, split="train",
             shard_index=jax.process_index(), num_shards=jax.process_count(),
             stats=norm_stats, seed=cfg.seed,
             image_size=self.model_cfg.vision.image_size,
             task_paraphrase=cfg.task_paraphrase,
         )
         self.val_data = InterleavedDataset(
-            cfg.data, self.micro_batch_size, split="val",
+            cfg.data, self.host_batch_size, split="val",
             shard_index=jax.process_index(), num_shards=jax.process_count(),
             stats=norm_stats, seed=cfg.seed + 1,
             image_size=self.model_cfg.vision.image_size,
@@ -384,9 +406,11 @@ class Trainer:
         metric_window: list[dict] = []
         # host pipeline (tf.data -> tokenize -> device_put) runs one batch
         # ahead on a worker thread while the device executes the current step
+        from intact_tpu.parallel import put_global_batch
+
         data_iter = PrefetchIterator(
             iter(self.train_data),
-            prepare=lambda raw: jax.device_put(
+            prepare=lambda raw: put_global_batch(
                 preprocess_batch(raw, self.tokenizer, self.model_cfg),
                 self.batch_shard,
             ),
@@ -414,9 +438,11 @@ class Trainer:
             if cfg.debug and self.main_rank:
                 if self.cnt_update == 2:
                     jax.profiler.start_trace(str(Path(cfg.log_dir) / "profile"))
-                elif self.cnt_update == 4:
+                    self._trace_active = True
+                elif self.cnt_update == 4 and self._trace_active:
                     jax.block_until_ready(self.state.params)
                     jax.profiler.stop_trace()
+                    self._trace_active = False
 
             if self.cnt_update % cfg.log_freq == 0:
                 self._log_training(metric_window, timer)
@@ -428,6 +454,13 @@ class Trainer:
             if self.cnt_update >= cfg.n_updates:
                 break
 
+        # a debug run shorter than 4 updates would otherwise exit with the
+        # trace unflushed — exactly the run the profile was wanted for
+        if self._trace_active:
+            jax.block_until_ready(self.state.params)
+            jax.profiler.stop_trace()
+            self._trace_active = False
+
         # the loop usually exits before the data stream does: stop the
         # prefetch worker so it doesn't linger holding device buffers
         data_iter.close()
@@ -436,6 +469,8 @@ class Trainer:
         self.logger.info("training done at update %d", self.cnt_update)
 
     def validate(self):
+        from intact_tpu.parallel import local_rows, put_global_batch
+
         cfg = self.cfg
         n_batches = max(1, cfg.eval_size // self.micro_batch_size)
         accs, l1s = [], []
@@ -443,10 +478,14 @@ class Trainer:
         for i in range(n_batches):
             raw = next(val_iter)
             batch = preprocess_batch(raw, self.tokenizer, self.model_cfg)
-            gt = batch.pop("actions")
+            gt = batch.pop("actions")  # host-local rows
             batch.pop("action_is_pad", None)
-            batch = jax.device_put(batch, self.batch_shard)
+            batch = put_global_batch(batch, self.batch_shard)
             pred = self.sample_fn(self.state.params, jax.random.key(1000 + i), batch)
+            if jax.process_count() > 1:
+                # score this host's rows against its own ground truth; the
+                # cross-host mean below aggregates (reference all-reduces)
+                pred = jnp.asarray(local_rows(pred))
             accs.append(np.asarray(
                 get_action_accuracy(jnp.asarray(gt), pred, cfg.eval_thresholds)))
             l1s.append(float(l1_error(jnp.asarray(gt), pred)))
@@ -471,7 +510,10 @@ class Trainer:
             for k in self.cfg.train_log_metrics + ["grad_norm"]
             if k in window[-1]
         }
-        lr = float(self.lr_schedule(self.cnt_update * self.opt_cfg.grad_accumulation_steps))
+        # the adamw schedule count advances once per EMITTED update (optax
+        # MultiSteps only steps the inner transform on emit), so the
+        # schedule is indexed by update count — never by micro-steps
+        lr = float(self.lr_schedule(self.cnt_update))
         line = " | ".join(f"{k} {v:8.5f}" for k, v in mean.items())
         self.logger.info(
             "update %6d | %s | lr %10.8f | t %5.2fs",
@@ -484,6 +526,7 @@ class Trainer:
     # ------------------------------------------------------------------
 
     _last_saved_update: int = -1
+    _trace_active: bool = False
 
     def save(self):
         path = ckpt.save_checkpoint(

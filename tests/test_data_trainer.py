@@ -174,7 +174,7 @@ class TestMixedFinetunePrecision:
         cfg = TrainPipelineConfig(
             name="mixed_prec",
             model_cfg={"type": "pi0"},
-            global_batch_size=2,
+            global_batch_size=8,
             per_device_batch_size=1,
             n_updates=1,
             use_bf16=True,
@@ -212,7 +212,7 @@ class TestQuantizeFrozenInt8:
         cfg = TrainPipelineConfig(
             name="q8_frozen",
             model_cfg={"type": "pi0"},
-            global_batch_size=2,
+            global_batch_size=8,
             per_device_batch_size=1,
             n_updates=1,
             log_freq=1,

@@ -35,10 +35,26 @@ mean = distributed.process_mean({"loss": 1.0 + 2.0 * rank, "acc": float(rank)})
 # host-0 broadcast: every process must end up with rank0's array
 got = distributed.broadcast_from_host0(np.full(3, 10.0 + rank, np.float32))
 
+# host-local batch -> global array (the trainer's data path): each process
+# contributes ONLY its own rows; a jitted global reduction must see both
+# hosts' rows, and local_rows must hand back exactly this host's input
+from intact_tpu.parallel import (
+    MeshConfig, make_mesh, batch_sharding, put_global_batch, local_rows,
+)
+mesh = make_mesh(MeshConfig(data=2, fsdp=1, tensor=1))
+local = np.arange(6, dtype=np.float32).reshape(2, 3) + 100.0 * rank
+g = put_global_batch({"x": local}, batch_sharding(mesh))["x"]
+assert g.shape == (4, 3), g.shape
+total = float(jax.jit(lambda a: a.sum())(g))
+roundtrip = np.asarray(local_rows(g))
+assert roundtrip.shape == local.shape, roundtrip.shape
+assert np.array_equal(roundtrip, local), (roundtrip, local)
+
 print(json.dumps({
     "rank": rank,
     "mean": mean,
     "broadcast": [float(x) for x in got],
+    "global_sum": total,
 }), flush=True)
 """
 
@@ -81,3 +97,5 @@ def test_two_process_initialize_mean_broadcast(tmp_path):
         assert o["mean"] == {"acc": 0.5, "loss": 2.0}
         # broadcast carries rank0's value everywhere
         assert o["broadcast"] == [10.0, 10.0, 10.0]
+        # global batch saw BOTH hosts' rows: sum(0..5) + sum(0..5 + 600)
+        assert o["global_sum"] == 15.0 + 615.0
