@@ -176,7 +176,7 @@ class TestCLIDispatch:
         yaml_path.write_text(
             "name: cli_smoke\n"
             f"model_cfg: !include {model_json}\n"
-            "global_batch_size: 2\n"
+            "global_batch_size: 8\n"
             "per_device_batch_size: 1\n"
             "n_updates: 1\n"
             "save_model_freq: 100\n"
