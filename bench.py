@@ -187,52 +187,11 @@ def bench_train(args) -> int:
 
 
 def _streamed_quantized_init(mod, cfg, policy, key):
-    """Random-init a model's params directly in serving-int8 form, one leaf
-    at a time on the device (bench-only: values are random either way).
-    Quantizable kernels (the quantize_params default filter) become
-    {kernel_q, scale}; everything else is bf16/param-dtype."""
-    import re
+    """Shared with the native serving wrappers (config quantize_int8):
+    models/common.streamed_quantized_init."""
+    from intact_tpu.models.common import streamed_quantized_init
 
-    import jax
-    import jax.numpy as jnp
-
-    from intact_tpu.models import common as cm
-
-    import functools
-
-    template = jax.eval_shape(lambda k: mod.init(k, cfg), key)
-    pattern = re.compile(cm.QUANTIZE_DEFAULT_PATTERN)
-    counter = [0]
-
-    # single jitted helpers with static shape args: leaves sharing a shape
-    # reuse ONE compiled program (per-leaf lambdas would recompile every
-    # leaf — ~60 cold remote compiles over the tunnel)
-    @functools.partial(jax.jit, static_argnums=(1, 2))
-    def _rand_leaf(k, shape, dtype):
-        return (jax.random.normal(k, shape, jnp.bfloat16) * 0.02).astype(dtype)
-
-    @functools.partial(jax.jit, static_argnums=(1,))
-    def _rand_quant(k, shape):
-        return cm.quantize_dense(
-            {"kernel": jax.random.normal(k, shape, jnp.bfloat16) * 0.02}
-        )
-
-    def walk(node, path=""):
-        if isinstance(node, dict):
-            if "kernel" in node and pattern.match(path):
-                counter[0] += 1
-                k = jax.random.fold_in(key, counter[0])
-                out = dict(_rand_quant(k, tuple(node["kernel"].shape)))
-                if "bias" in node:
-                    out["bias"] = jnp.zeros(node["bias"].shape, policy.param_dtype)
-                return out
-            return {k: walk(v, f"{path}/{k}" if path else k)
-                    for k, v in node.items()}
-        counter[0] += 1
-        k = jax.random.fold_in(key, counter[0])
-        return _rand_leaf(k, tuple(node.shape), jnp.dtype(policy.param_dtype))
-
-    return walk(template)
+    return streamed_quantized_init(lambda k: mod.init(k, cfg), key, policy)
 
 
 def bench_native_vla(args) -> int:

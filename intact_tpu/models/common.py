@@ -188,6 +188,131 @@ def quantize_frozen(params: Params, trainable_mask) -> Params:
     return walk(params, trainable_mask)
 
 
+def streamed_quantized_init(
+    init_fn: Callable[[Any], Params],
+    key,
+    policy: DtypePolicy = SERVING_POLICY,
+    path_filter=None,
+    shardings=None,
+) -> Params:
+    """Random-init a model's params directly in serving-int8 form, one leaf
+    at a time on the device. Quantizable kernels (the quantize_params
+    default filter) become {kernel_q, kernel_scale}; everything else is
+    param-dtype.
+
+    Why streamed: quantizing inside one jit peaks at fp + int8 of the whole
+    model simultaneously (26 GB for Magma-8B -> ResourceExhausted on a
+    16 GB v5e). Leaf-at-a-time, the fp intermediate only ever exists for
+    one stacked kernel beside the accumulating int8 tree.
+
+    shardings: optional matching tree (over the QUANTIZED structure) of
+    NamedSharding — each finished leaf is placed on its sharding, so a
+    sharded int8 tree never materializes replicated first.
+    """
+    import functools
+    import re
+
+    default = re.compile(QUANTIZE_DEFAULT_PATTERN)
+    match = path_filter or default.match
+
+    template = jax.eval_shape(init_fn, key)
+    counter = [0]
+
+    # single jitted helpers with static shape args: leaves sharing a shape
+    # reuse ONE compiled program (per-leaf lambdas would recompile every
+    # leaf — ~60 cold remote compiles over the tunnel)
+    @functools.partial(jax.jit, static_argnums=(1, 2))
+    def _rand_leaf(k, shape, dtype):
+        return (jax.random.normal(k, shape, jnp.bfloat16) * 0.02).astype(dtype)
+
+    @functools.partial(jax.jit, static_argnums=(1,))
+    def _rand_quant(k, shape):
+        return quantize_dense(
+            {"kernel": jax.random.normal(k, shape, jnp.bfloat16) * 0.02}
+        )
+
+    def _place(leaf, shard):
+        return jax.device_put(leaf, shard) if shard is not None else leaf
+
+    def walk(node, shard_node, path=""):
+        if isinstance(node, dict):
+            if "kernel" in node and match(path):
+                counter[0] += 1
+                k = jax.random.fold_in(key, counter[0])
+                out = {
+                    name: _place(leaf, shard_node[name] if shard_node else None)
+                    for name, leaf in _rand_quant(k, tuple(node["kernel"].shape)).items()
+                }
+                if "bias" in node:
+                    out["bias"] = _place(
+                        jnp.zeros(node["bias"].shape, policy.param_dtype),
+                        shard_node["bias"] if shard_node else None,
+                    )
+                return out
+            return {
+                k: walk(v, shard_node[k] if shard_node else None,
+                        f"{path}/{k}" if path else k)
+                for k, v in node.items()
+            }
+        counter[0] += 1
+        k = jax.random.fold_in(key, counter[0])
+        return _place(
+            _rand_leaf(k, tuple(node.shape), jnp.dtype(policy.param_dtype)),
+            shard_node,
+        )
+
+    return walk(template, shardings)
+
+
+def quantize_host_tree(
+    raw: Params,
+    policy: DtypePolicy = SERVING_POLICY,
+    path_filter=None,
+    shardings=None,
+) -> Params:
+    """Host (numpy) param tree -> device tree in serving-int8 form, one leaf
+    at a time: peak device memory = the final int8 tree + ONE fp kernel.
+
+    This is the checkpoint-load path for models whose fp weights exceed the
+    device HBM (Magma-8B: 17.8 GB bf16 on a 16 GB v5e) — restoring the
+    whole fp tree on device and then quantizing (pi0/policy.load) would OOM
+    before the int8 copy exists. shardings: optional matching tree over the
+    QUANTIZED structure.
+    """
+    import re
+
+    default = re.compile(QUANTIZE_DEFAULT_PATTERN)
+    match = path_filter or default.match
+    quant = jax.jit(lambda k: quantize_dense({"kernel": k}))
+
+    def _place(leaf, shard):
+        return jax.device_put(leaf, shard) if shard is not None else leaf
+
+    def walk(node, shard_node, path=""):
+        if isinstance(node, dict):
+            if "kernel" in node and match(path):
+                out = {
+                    name: _place(leaf, shard_node[name] if shard_node else None)
+                    for name, leaf in quant(
+                        jnp.asarray(node["kernel"], policy.compute_dtype)
+                    ).items()
+                }
+                if "bias" in node:
+                    out["bias"] = _place(
+                        jnp.asarray(node["bias"], policy.param_dtype),
+                        shard_node["bias"] if shard_node else None,
+                    )
+                return out
+            return {
+                k: walk(v, shard_node[k] if shard_node else None,
+                        f"{path}/{k}" if path else k)
+                for k, v in node.items()
+            }
+        return _place(jnp.asarray(node, policy.param_dtype), shard_node)
+
+    return walk(raw, shardings)
+
+
 def embed_lookup(p: Params, ids: jnp.ndarray, policy: DtypePolicy = DEFAULT_POLICY) -> jnp.ndarray:
     # mode="clip": jnp.take's default out-of-bounds fill is NaN, which turns a
     # tokenizer/vocab mismatch into silent NaN loss — clip instead

@@ -675,6 +675,94 @@ class SpatialVLASession(PolicySession):
         self.ensembler.reset()
 
 
+def _init_native_serving(mod, cfg, config, policy):
+    """Build the device param tree for a native AR wrapper (SpatialVLA /
+    Magma): (params, mesh, shardings, batch_sharding, quantize).
+
+    quantize (config.eval_cfg.quantize_int8) streams the W8A8 init leaf by
+    leaf (models/common.streamed_quantized_init) — the single-chip mode for
+    Magma-8B, whose 17.8 GB bf16 weights exceed one v5e's HBM (8.9 GB
+    int8 fits). On a multi-device host both fp and int8 trees shard by the
+    same path rules (the `kernel(_q)?` patterns in parallel/sharding.py);
+    kernel_scale falls to the replicated catch-all."""
+    import jax
+
+    from intact_tpu.models import common as cm
+
+    quantize = bool(getattr(config.eval_cfg, "quantize_int8", False))
+    seed_key = jax.random.key(config.seed)
+
+    def init_fp(k):
+        return jax.tree.map(
+            lambda x: x.astype(policy.param_dtype), mod.init(k, cfg)
+        )
+
+    mesh = shardings = batch_shard = None
+    if jax.device_count() > 1:
+        from intact_tpu.parallel import MeshConfig, make_mesh
+        from intact_tpu.parallel.sharding import batch_sharding, param_shardings
+
+        m = config.mesh
+        mesh = make_mesh(MeshConfig(m.data, m.fsdp, m.tensor))
+        template_fn = (
+            (lambda k: cm.quantize_params(init_fp(k))) if quantize else init_fp
+        )
+        template = jax.eval_shape(template_fn, seed_key)
+        shardings = param_shardings(template, mesh)
+        batch_shard = batch_sharding(mesh)
+
+    if quantize:
+        params = cm.streamed_quantized_init(
+            init_fp, seed_key, policy, shardings=shardings
+        )
+    else:
+        params = jax.jit(init_fp, out_shardings=shardings)(seed_key)
+    return params, mesh, shardings, batch_shard, quantize
+
+
+def _put_native_checkpoint(raw, policy, shardings, quantize):
+    """Host param tree (importer output) -> device tree, honoring the
+    wrapper's quantize/sharding mode. With quantize, the fp tree never
+    materializes on device (models/common.quantize_host_tree streams it)."""
+    import jax
+    import jax.numpy as jnp
+
+    from intact_tpu.models import common as cm
+
+    if quantize:
+        return cm.quantize_host_tree(raw, policy, shardings=shardings)
+    if shardings is not None:
+        # each device gets only its shard; an unsharded put of Magma-8B's
+        # 17.8 GB would OOM a single device first
+        return jax.tree.map(
+            lambda x, s: jax.device_put(jnp.asarray(x, policy.param_dtype), s),
+            raw, shardings,
+        )
+    return jax.tree.map(lambda x: jnp.asarray(x, policy.param_dtype), raw)
+
+
+def _restore_native_orbax(mod, cfg, path, policy, self_params, shardings, quantize):
+    """Orbax step-dir restore for a native wrapper. Checkpoints store fp
+    params; under quantize the fp tree is restored to HOST numpy and
+    streamed to device in int8 form (the fp tree may not fit on device)."""
+    import jax
+
+    from intact_tpu.models import common as cm
+    from intact_tpu.train import checkpoint as ckpt_lib
+
+    if not quantize:
+        return ckpt_lib.restore_params(path, self_params, shardings)
+    template = jax.eval_shape(
+        lambda k: jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, policy.param_dtype),
+            mod.init(k, cfg),
+        ),
+        jax.random.key(0),
+    )
+    raw = ckpt_lib.restore_params_host(path, template)
+    return cm.quantize_host_tree(raw, policy, shardings=shardings)
+
+
 class SpatialVLANativePolicyWrapper(BasePolicyWrapper):
     """Fully native SpatialVLA path: SigLIP + Ego3D PE + Gemma2 spatial-token
     decode as ONE XLA program (models/spatialvla), replacing the reference's
@@ -699,34 +787,10 @@ class SpatialVLANativePolicyWrapper(BasePolicyWrapper):
         policy = SERVING_POLICY if config.use_bf16 else DEFAULT_POLICY
         self._policy = policy
         # multi-chip host: shard params over the configured mesh and fused
-        # batches over (data, fsdp) — same scheme as Pi0Policy/Magma
-        self.mesh = None
-        self._shardings = None
-        self._batch_sharding = None
-        if jax.device_count() > 1:
-            from intact_tpu.parallel import MeshConfig, make_mesh
-            from intact_tpu.parallel.sharding import (
-                batch_sharding,
-                param_shardings,
-            )
-
-            m = config.mesh
-            self.mesh = make_mesh(MeshConfig(m.data, m.fsdp, m.tensor))
-            template = jax.eval_shape(
-                lambda k: jax.tree.map(
-                    lambda x: jax.ShapeDtypeStruct(x.shape, policy.param_dtype),
-                    svla.init(k, cfg),
-                ),
-                jax.random.key(config.seed),
-            )
-            self._shardings = param_shardings(template, self.mesh)
-            self._batch_sharding = batch_sharding(self.mesh)
-        self.params = jax.jit(
-            lambda k: jax.tree.map(
-                lambda x: x.astype(policy.param_dtype), svla.init(k, cfg)
-            ),
-            out_shardings=self._shardings,
-        )(jax.random.key(config.seed))
+        # batches over (data, fsdp) — same scheme as Pi0Policy/Magma;
+        # eval_cfg.quantize_int8 serves W8A8 (gate via action_parity int8)
+        (self.params, self.mesh, self._shardings, self._batch_sharding,
+         self._quantize) = _init_native_serving(svla, cfg, config, policy)
         from intact_tpu.utils.device import drain_device_queue
 
         drain_device_queue(self.params)  # tunnel lowering-stall workaround
@@ -758,22 +822,13 @@ class SpatialVLANativePolicyWrapper(BasePolicyWrapper):
             )
         ):
             raw = self._svla.load_spatialvla_checkpoint(new_model_path, self.model_cfg)
-            if self._shardings is not None:
-                self.params = self._jax.tree.map(
-                    lambda x, s: self._jax.device_put(
-                        self._jax.numpy.asarray(x, self._policy.param_dtype), s
-                    ),
-                    raw, self._shardings,
-                )
-            else:
-                self.params = self._jax.tree.map(
-                    lambda x: self._jax.numpy.asarray(x, self._policy.param_dtype), raw
-                )
+            self.params = _put_native_checkpoint(
+                raw, self._policy, self._shardings, self._quantize
+            )
         else:
-            from intact_tpu.train import checkpoint as ckpt_lib
-
-            self.params = ckpt_lib.restore_params(
-                new_model_path, self.params, self._shardings
+            self.params = _restore_native_orbax(
+                self._svla, self.model_cfg, new_model_path, self._policy,
+                self.params, self._shardings, self._quantize,
             )
         self.reset()
 
@@ -871,33 +926,11 @@ class MagmaNativePolicyWrapper(BasePolicyWrapper):
         self._magma, self._jax = magma, jax
         policy = SERVING_POLICY if config.use_bf16 else DEFAULT_POLICY
         self._policy = policy
-        self.mesh = None
-        self._shardings = None
-        self._batch_sharding = None
-        if jax.device_count() > 1:
-            from intact_tpu.parallel import MeshConfig, make_mesh
-            from intact_tpu.parallel.sharding import (
-                batch_sharding,
-                param_shardings,
-            )
-
-            m = config.mesh
-            self.mesh = make_mesh(MeshConfig(m.data, m.fsdp, m.tensor))
-            template = jax.eval_shape(
-                lambda k: jax.tree.map(
-                    lambda x: jax.ShapeDtypeStruct(x.shape, policy.param_dtype),
-                    magma.init(k, cfg),
-                ),
-                jax.random.key(config.seed),
-            )
-            self._shardings = param_shardings(template, self.mesh)
-            self._batch_sharding = batch_sharding(self.mesh)
-        self.params = jax.jit(
-            lambda k: jax.tree.map(
-                lambda x: x.astype(policy.param_dtype), magma.init(k, cfg)
-            ),
-            out_shardings=self._shardings,
-        )(jax.random.key(config.seed))
+        # eval_cfg.quantize_int8 is THE single-chip mode for Magma-8B
+        # (17.8 GB bf16 > one v5e's HBM; 8.9 GB int8 fits) — bf16 serving
+        # runs sharded over the mesh. Gate fidelity via action_parity int8.
+        (self.params, self.mesh, self._shardings, self._batch_sharding,
+         self._quantize) = _init_native_serving(magma, cfg, config, policy)
         from intact_tpu.utils.device import drain_device_queue
 
         drain_device_queue(self.params)  # tunnel lowering-stall workaround
@@ -930,24 +963,13 @@ class MagmaNativePolicyWrapper(BasePolicyWrapper):
             )
         ):
             raw = self._magma.load_magma_checkpoint(new_model_path, self.model_cfg)
-            if self._shardings is not None:
-                # host arrays -> sharded device buffers (each device gets
-                # only its shard; an unsharded put of 17.8 GB would OOM)
-                self.params = self._jax.tree.map(
-                    lambda x, s: self._jax.device_put(
-                        self._jax.numpy.asarray(x, self._policy.param_dtype), s
-                    ),
-                    raw, self._shardings,
-                )
-            else:
-                self.params = self._jax.tree.map(
-                    lambda x: self._jax.numpy.asarray(x, self._policy.param_dtype), raw
-                )
+            self.params = _put_native_checkpoint(
+                raw, self._policy, self._shardings, self._quantize
+            )
         else:
-            from intact_tpu.train import checkpoint as ckpt_lib
-
-            self.params = ckpt_lib.restore_params(
-                new_model_path, self.params, self._shardings
+            self.params = _restore_native_orbax(
+                self._magma, self.model_cfg, new_model_path, self._policy,
+                self.params, self._shardings, self._quantize,
             )
         self.env_adapter.reset()
 

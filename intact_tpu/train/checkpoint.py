@@ -116,6 +116,31 @@ def restore_params(ckpt_path: str | Path, template_params, shardings=None):
         return ckptr.restore(path / "params", target)
 
 
+def restore_params_host(ckpt_path: str | Path, template_params):
+    """Restore params as HOST numpy arrays (no device placement).
+
+    The load path for quantized native serving (policy_wrapper), where the
+    fp tree may not fit on the device at all (Magma-8B bf16 on one v5e):
+    Orbax restores into host buffers and the caller streams them to device
+    in int8 form leaf by leaf. template_params: pytree of arrays or
+    ShapeDtypeStructs giving shapes/dtypes."""
+    import numpy as np
+
+    path = Path(ckpt_path)
+    if not (path / "params").exists():
+        steps = list_steps(path)
+        if not steps:
+            raise FileNotFoundError(f"no checkpoint under {path}")
+        path = step_dir(path, steps[-1])
+    # numpy template leaves make Orbax return numpy (np.zeros pages lazily,
+    # so the template itself costs no resident RAM)
+    target = jax.tree.map(
+        lambda t: np.zeros(t.shape, t.dtype), template_params
+    )
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(path / "params", target)
+
+
 def restore_train_state(
     ckpt_path: str | Path,
     template_state: TrainState,

@@ -74,10 +74,10 @@ def main() -> int:
         "octo": "OctoBridgeSimplerAdapter",
         "spatialvla": "BridgeSimplerAdapter", "magma": "BridgeSimplerAdapter",
     }
-    if args.int8 and args.model not in ("pi0", "mvla"):
+    if args.int8 and args.model not in ("pi0", "mvla", "spatialvla", "magma"):
         # validate BEFORE the (potentially minutes-long) model build
-        print("--int8 is wired for the pi0/mvla serving path only",
-              file=sys.stderr)
+        print("--int8 is wired for the pi0/mvla/spatialvla/magma serving "
+              "paths only", file=sys.stderr)
         return 2
 
     mtype = model_types[args.model] + ("_tiny" if args.tiny else "")

@@ -128,3 +128,93 @@ class TestPallasW8A8:
             assert rel < 0.02, rel
         finally:
             pallas_int8.BLOCK_K = orig
+
+
+class TestNativeWrapperInt8:
+    """Config-level int8 (`eval_cfg.quantize_int8`) for the native AR
+    serving wrappers — the single-chip mode for Magma-8B, whose bf16
+    weights exceed one v5e's HBM (policy_wrapper._init_native_serving).
+    Runs on the virtual 8-device mesh, so the sharded-int8-tree path
+    (kernel(_q)? rules in parallel/sharding.py) is exercised too."""
+
+    def _cfg(self, mtype: str, image_size: int):
+        from pathlib import Path
+
+        from intact_tpu.config.pipeline import (
+            EnvConfig,
+            EvalConfig,
+            TrainPipelineConfig,
+        )
+
+        repo = Path(__file__).resolve().parent.parent
+        return TrainPipelineConfig(
+            name=f"{mtype}_int8_test",
+            model_cfg={"type": mtype},
+            use_bf16=False,
+            tokenizer_path="hash",
+            eval_cfg=EvalConfig(
+                simulator_name="simpler",
+                env_adapter="BridgeSimplerAdapter",
+                task_list=["widowx_carrot_on_plate"],
+                n_eval_episode=1, n_video=0, recording=False,
+                role="server", host="127.0.0.1", port=0, action_step=1,
+                quantize_int8=True,
+            ),
+            env=EnvConfig(
+                dataset_statistics_path=str(
+                    repo / "config/dataset/bridge_statistics.json"),
+                image_size=(image_size, image_size),
+            ),
+        )
+
+    @staticmethod
+    def _quantized_kernel_dtypes(params) -> list:
+        found = []
+
+        def walk(node):
+            if isinstance(node, dict):
+                if "kernel_q" in node:
+                    found.append(node["kernel_q"].dtype)
+                for v in node.values():
+                    walk(v)
+
+        walk(params)
+        return found
+
+    def test_spatialvla_native_int8_serves(self, monkeypatch, tmp_path):
+        from intact_tpu.serve.policy_wrapper import SpatialVLANativePolicyWrapper
+
+        monkeypatch.setenv("VLA_LOG_DIR", str(tmp_path))
+        w = SpatialVLANativePolicyWrapper(self._cfg("spatialvla_native_tiny", 28))
+        dtypes = self._quantized_kernel_dtypes(w.params)
+        assert dtypes and all(d == jnp.int8 for d in dtypes)
+        out = w.infer_batch([(w.warmup_inputs(), w.new_session())])
+        assert not isinstance(out[0], Exception), out[0]
+        assert np.isfinite(np.asarray(out[0])).all()
+
+    def test_magma_native_int8_serves_and_orbax_switch(self, monkeypatch, tmp_path):
+        """Wrapper init in int8 form, then hot-swap an fp Orbax checkpoint:
+        restore-to-HOST + streamed re-quantization (the fp tree never
+        materializes on device — checkpoint.restore_params_host)."""
+        import orbax.checkpoint as ocp
+
+        from intact_tpu.models.magma import model as magma_mod
+        from intact_tpu.serve.policy_wrapper import MagmaNativePolicyWrapper
+
+        monkeypatch.setenv("VLA_LOG_DIR", str(tmp_path))
+        w = MagmaNativePolicyWrapper(self._cfg("magma_native_tiny", 32))
+        dtypes = self._quantized_kernel_dtypes(w.params)
+        assert dtypes and all(d == jnp.int8 for d in dtypes)
+        out = w.infer_batch([(w.warmup_inputs(), w.new_session())])
+        assert not isinstance(out[0], Exception), out[0]
+
+        fp = jax.jit(lambda k: magma_mod.init(k, w.model_cfg))(jax.random.key(7))
+        step = tmp_path / "step_5"
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(step / "params", jax.tree.map(lambda x: x, fp))
+        w.switch_model(str(step))
+        dtypes = self._quantized_kernel_dtypes(w.params)
+        assert dtypes and all(d == jnp.int8 for d in dtypes)
+        out = w.infer_batch([(w.warmup_inputs(), w.new_session())])
+        assert not isinstance(out[0], Exception), out[0]
+        assert np.isfinite(np.asarray(out[0])).all()
