@@ -210,10 +210,6 @@ def streamed_quantized_init(
     sharded int8 tree never materializes replicated first.
     """
     import functools
-    import re
-
-    default = re.compile(QUANTIZE_DEFAULT_PATTERN)
-    match = path_filter or default.match
 
     template = jax.eval_shape(init_fn, key)
     counter = [0]
@@ -231,37 +227,22 @@ def streamed_quantized_init(
             {"kernel": jax.random.normal(k, shape, jnp.bfloat16) * 0.02}
         )
 
-    def _place(leaf, shard):
-        return jax.device_put(leaf, shard) if shard is not None else leaf
-
-    def walk(node, shard_node, path=""):
-        if isinstance(node, dict):
-            if "kernel" in node and match(path):
-                counter[0] += 1
-                k = jax.random.fold_in(key, counter[0])
-                out = {
-                    name: _place(leaf, shard_node[name] if shard_node else None)
-                    for name, leaf in _rand_quant(k, tuple(node["kernel"].shape)).items()
-                }
-                if "bias" in node:
-                    out["bias"] = _place(
-                        jnp.zeros(node["bias"].shape, policy.param_dtype),
-                        shard_node["bias"] if shard_node else None,
-                    )
-                return out
-            return {
-                k: walk(v, shard_node[k] if shard_node else None,
-                        f"{path}/{k}" if path else k)
-                for k, v in node.items()
-            }
+    def _next_key():
         counter[0] += 1
-        k = jax.random.fold_in(key, counter[0])
-        return _place(
-            _rand_leaf(k, tuple(node.shape), jnp.dtype(policy.param_dtype)),
-            shard_node,
+        return jax.random.fold_in(key, counter[0])
+
+    def make_dense(node):
+        out = dict(_rand_quant(_next_key(), tuple(node["kernel"].shape)))
+        if "bias" in node:
+            out["bias"] = jnp.zeros(node["bias"].shape, policy.param_dtype)
+        return out
+
+    def make_leaf(node):
+        return _rand_leaf(
+            _next_key(), tuple(node.shape), jnp.dtype(policy.param_dtype)
         )
 
-    return walk(template, shardings)
+    return _streamed_tree(template, make_dense, make_leaf, path_filter, shardings)
 
 
 def quantize_host_tree(
@@ -279,11 +260,33 @@ def quantize_host_tree(
     before the int8 copy exists. shardings: optional matching tree over the
     QUANTIZED structure.
     """
+    quant = jax.jit(lambda k: quantize_dense({"kernel": k}))
+
+    def make_dense(node):
+        out = dict(quant(jnp.asarray(node["kernel"], policy.compute_dtype)))
+        if "bias" in node:
+            out["bias"] = jnp.asarray(node["bias"], policy.param_dtype)
+        return out
+
+    def make_leaf(node):
+        return jnp.asarray(node, policy.param_dtype)
+
+    return _streamed_tree(raw, make_dense, make_leaf, path_filter, shardings)
+
+
+def _streamed_tree(tree, make_dense, make_leaf, path_filter, shardings):
+    """Shared walker behind streamed_quantized_init / quantize_host_tree.
+
+    Walks `tree` leaf by leaf: dense nodes matching the quantize filter are
+    replaced wholesale by make_dense(node) (-> {kernel_q, kernel_scale[,
+    bias]}), every other leaf by make_leaf(leaf); each produced array is
+    placed on its sharding (a tree over the QUANTIZED structure) immediately,
+    so at most one unplaced leaf exists at a time.
+    """
     import re
 
     default = re.compile(QUANTIZE_DEFAULT_PATTERN)
     match = path_filter or default.match
-    quant = jax.jit(lambda k: quantize_dense({"kernel": k}))
 
     def _place(leaf, shard):
         return jax.device_put(leaf, shard) if shard is not None else leaf
@@ -291,26 +294,18 @@ def quantize_host_tree(
     def walk(node, shard_node, path=""):
         if isinstance(node, dict):
             if "kernel" in node and match(path):
-                out = {
+                return {
                     name: _place(leaf, shard_node[name] if shard_node else None)
-                    for name, leaf in quant(
-                        jnp.asarray(node["kernel"], policy.compute_dtype)
-                    ).items()
+                    for name, leaf in make_dense(node).items()
                 }
-                if "bias" in node:
-                    out["bias"] = _place(
-                        jnp.asarray(node["bias"], policy.param_dtype),
-                        shard_node["bias"] if shard_node else None,
-                    )
-                return out
             return {
                 k: walk(v, shard_node[k] if shard_node else None,
                         f"{path}/{k}" if path else k)
                 for k, v in node.items()
             }
-        return _place(jnp.asarray(node, policy.param_dtype), shard_node)
+        return _place(make_leaf(node), shard_node)
 
-    return walk(raw, shardings)
+    return walk(tree, shardings)
 
 
 def embed_lookup(p: Params, ids: jnp.ndarray, policy: DtypePolicy = DEFAULT_POLICY) -> jnp.ndarray:

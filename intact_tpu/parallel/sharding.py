@@ -137,14 +137,30 @@ def put_global_batch(batch, sharding: NamedSharding):
     )
 
 
-def local_rows(global_array) -> "jax.Array":
-    """This process's rows of a batch-sharded global array, concatenated in
-    global-position order (the order put_global_batch consumed the host
-    batch). Deduplicates replicated shards (e.g. the tensor axis)."""
+def local_rows(global_array):
+    """This process's rows of a batch-sharded global array (numpy),
+    concatenated in global-position order (the order put_global_batch
+    consumed the host batch). Deduplicates batch-replicated shards (e.g.
+    the tensor axis).
+
+    The array must be partitioned on the LEADING axis only — a jit output
+    needs its out_shardings pinned to batch_sharding(mesh), since a
+    compiler-chosen sharding may split a non-batch axis (which would make
+    the start-of-batch dedup keep one arbitrary partial-feature block per
+    row range). Raises in that case rather than returning truncated data.
+    """
     import numpy as np
 
+    shape = global_array.shape
     seen: dict[int, np.ndarray] = {}
     for s in global_array.addressable_shards:
+        for d, sl in enumerate(s.index[1:], start=1):
+            if (sl.start or 0) != 0 or (sl.stop is not None and sl.stop != shape[d]):
+                raise ValueError(
+                    f"local_rows needs batch-only sharding, but axis {d} is "
+                    f"partitioned ({global_array.sharding}); pin the "
+                    "producing jit's out_shardings to batch_sharding(mesh)"
+                )
         start = s.index[0].start or 0
         if start not in seen:
             seen[start] = np.asarray(s.data)

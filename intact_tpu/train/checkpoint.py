@@ -59,19 +59,35 @@ def save_checkpoint(
     step = int(state.step) if step is None else int(step)
     path = step_dir(ckpt_root, step).resolve()
     if path.exists() and any(path.iterdir()):
-        # Orbax refuses to overwrite an existing item dir, so a stale
-        # step dir — typically the partial leftovers of a crash mid-save
-        # that resume correctly skipped — would crash every retry at the
-        # same update. Decommit FIRST (remove the marker), then clear:
-        # a crash mid-removal still leaves the dir uncommitted.
+        if (path / "auxiliary_data.json").exists():
+            # a COMMITTED checkpoint already lives here (same log_dir reused,
+            # or resuming from an older step re-crossed this update). Deleting
+            # it and crashing mid-rewrite would lose a good save — refuse,
+            # like Orbax itself would, and make the operator decide.
+            raise FileExistsError(
+                f"{path} already holds a committed checkpoint; refusing to "
+                "overwrite. Delete the step dir explicitly (or save under a "
+                "new checkpoint root) if this is intended."
+            )
+        # stale partial leftovers of a crash mid-save (no commit marker),
+        # which resume correctly skipped — clear them so the retry at this
+        # update can save. Orbax refuses to overwrite an existing item dir,
+        # so without this every retry would crash at the same update.
+        # Multi-host: the checkpoint root is shared storage and save() runs
+        # on every process, so only process 0 removes; everyone barriers
+        # below before any process starts writing.
         import logging
         import shutil
 
         logging.getLogger("intact_tpu.checkpoint").warning(
-            "overwriting existing step dir %s (stale partial save?)", path
+            "clearing stale partial step dir %s", path
         )
-        (path / "auxiliary_data.json").unlink(missing_ok=True)
-        shutil.rmtree(path)
+        if jax.process_index() == 0:
+            shutil.rmtree(path)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(f"intact_tpu_ckpt_clear_{step}")
     path.mkdir(parents=True, exist_ok=True)
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(path / "params", jax.tree.map(lambda x: x, state.params))
@@ -86,15 +102,32 @@ def save_checkpoint(
     return path
 
 
+def _resolve_latest_step(path: Path) -> Path:
+    """Root dir -> newest COMMITTED step dir. A crash mid-save leaves a
+    partial step dir without the auxiliary_data.json marker; silently
+    restoring it would load truncated params, so partial-only roots raise
+    with a pointer instead."""
+    steps = list_steps(path, committed_only=True)
+    if not steps:
+        partial = list_steps(path)
+        if partial:
+            raise FileNotFoundError(
+                f"only uncommitted (crash-truncated?) step dirs under "
+                f"{path}: steps {partial}. Each lacks the "
+                "auxiliary_data.json commit marker; restoring one risks "
+                "partial params. Point ckpt_path directly at a step dir "
+                "to force-restore it."
+            )
+        raise FileNotFoundError(f"no checkpoint under {path}")
+    return step_dir(path, steps[-1])
+
+
 def restore_params(ckpt_path: str | Path, template_params, shardings=None):
     """Restore params only (serving / switch_model). ckpt_path may be the
-    step dir or its parent root (latest step used)."""
+    step dir or its parent root (latest committed step used)."""
     path = Path(ckpt_path)
     if not (path / "params").exists():
-        steps = list_steps(path)
-        if not steps:
-            raise FileNotFoundError(f"no checkpoint under {path}")
-        path = step_dir(path, steps[-1])
+        path = _resolve_latest_step(path)
     if shardings is not None:
         target = jax.tree.map(
             lambda t, s: jax.ShapeDtypeStruct(t.shape, t.dtype, sharding=s),
@@ -128,10 +161,7 @@ def restore_params_host(ckpt_path: str | Path, template_params):
 
     path = Path(ckpt_path)
     if not (path / "params").exists():
-        steps = list_steps(path)
-        if not steps:
-            raise FileNotFoundError(f"no checkpoint under {path}")
-        path = step_dir(path, steps[-1])
+        path = _resolve_latest_step(path)
     # numpy template leaves make Orbax return numpy (np.zeros pages lazily,
     # so the template itself costs no resident RAM)
     target = jax.tree.map(
@@ -162,22 +192,7 @@ def restore_train_state(
     after restore)."""
     path = Path(ckpt_path)
     if not (path / "params").exists():
-        # resume wants the newest COMMITTED save; a crash mid-save leaves a
-        # partial step dir (no auxiliary_data.json marker) that must never
-        # be silently restored
-        steps = list_steps(path, committed_only=True)
-        if not steps:
-            partial = list_steps(path)
-            if partial:
-                raise FileNotFoundError(
-                    f"only uncommitted (crash-truncated?) step dirs under "
-                    f"{path}: steps {partial}. Each lacks the "
-                    "auxiliary_data.json commit marker; restoring one risks "
-                    "partial params. Point ckpt_path directly at a step dir "
-                    "to force-restore it."
-                )
-            raise FileNotFoundError(f"no checkpoint under {path}")
-        path = step_dir(path, steps[-1])
+        path = _resolve_latest_step(path)
 
     if params_template is not None:
         params = restore_params(path, params_template, params_shardings)

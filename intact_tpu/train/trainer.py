@@ -309,7 +309,10 @@ class Trainer:
                 batch["lang_masks"], batch["state"], self.model_cfg, self.policy,
             )
 
-        self.sample_fn = jax.jit(sample_fn)
+        # out_shardings pinned: validate() takes local_rows(pred) on pods,
+        # which needs batch-only partitioning — a compiler-chosen output
+        # sharding may replicate or split a feature axis instead
+        self.sample_fn = jax.jit(sample_fn, out_shardings=self.batch_shard)
 
         # ---- data ----
         self.tokenizer = make_tokenizer(

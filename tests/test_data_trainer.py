@@ -337,6 +337,55 @@ class TestUncommittedCheckpointGuard:
         with pytest.raises(FileNotFoundError, match="uncommitted"):
             restore_train_state(tmp_path, state)
 
+    def test_save_refuses_committed_and_clears_partial(self, tmp_path):
+        """save_checkpoint must refuse to overwrite a COMMITTED step dir
+        (data loss if the rewrite crashes) but auto-clear a stale PARTIAL
+        one (no commit marker) so a crash-retry can save at the same
+        update."""
+        import optax
+        import pytest
+
+        import jax
+        from intact_tpu.train.checkpoint import save_checkpoint
+
+        from intact_tpu.train.train_step import init_train_state
+
+        params = {"a": jax.numpy.ones((2, 2))}
+        state = init_train_state(params, optax.sgd(0.0))
+        save_checkpoint(tmp_path, state, step=3)
+        with pytest.raises(FileExistsError, match="committed"):
+            save_checkpoint(tmp_path, state, step=3)
+        # stale partial at a different step: leftover item dir, no marker
+        (tmp_path / "step_4" / "params").mkdir(parents=True)
+        (tmp_path / "step_4" / "params" / "junk").write_text("x")
+        path = save_checkpoint(tmp_path, state, step=4)
+        assert (path / "auxiliary_data.json").exists()
+
+    def test_params_restore_skips_newer_partial_step(self, tmp_path):
+        """restore_params / restore_params_host resolving a ROOT dir must
+        pick the newest COMMITTED step, not a newer crash-truncated partial
+        one."""
+        import optax
+
+        import jax
+        import numpy as np
+        from intact_tpu.train.checkpoint import (
+            restore_params,
+            restore_params_host,
+            save_checkpoint,
+        )
+        from intact_tpu.train.train_step import init_train_state
+
+        params = {"a": jax.numpy.full((2, 2), 7.0)}
+        save_checkpoint(tmp_path, init_train_state(params, optax.sgd(0.0)), step=2)
+        # newer partial: would be picked by a commit-blind latest-step scan
+        (tmp_path / "step_9" / "params").mkdir(parents=True)
+        out = restore_params(tmp_path, params)
+        np.testing.assert_array_equal(np.asarray(out["a"]), 7.0)
+        out_h = restore_params_host(tmp_path, params)
+        assert isinstance(out_h["a"], np.ndarray)
+        np.testing.assert_array_equal(out_h["a"], 7.0)
+
     def test_opt_state_structure_mismatch_explains_itself(self, tmp_path):
         """An opt_state whose on-disk tree no longer matches the live
         template (e.g. checkpoints written before MultiSteps moved inside

@@ -53,6 +53,34 @@ class TestMesh:
             make_mesh(MeshConfig(data=3, fsdp=3, tensor=1))
 
 
+class TestLocalRows:
+    def test_batch_sharded_roundtrip_dedups_tensor_axis(self):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from intact_tpu.parallel import local_rows
+
+        mesh = make_mesh(MeshConfig(data=2, fsdp=2, tensor=2))
+        x = np.arange(8 * 3, dtype=np.float32).reshape(8, 3)
+        g = jax.device_put(x, NamedSharding(mesh, P(("data", "fsdp"))))
+        out = local_rows(g)
+        assert isinstance(out, np.ndarray)
+        np.testing.assert_array_equal(out, x)
+
+    def test_feature_axis_partitioning_raises(self):
+        """A compiler-chosen sharding that splits a non-batch axis must be
+        rejected: the start-of-batch dedup would otherwise return one
+        arbitrary partial-feature block per row range."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from intact_tpu.parallel import local_rows
+
+        mesh = make_mesh(MeshConfig(data=2, fsdp=2, tensor=2))
+        x = np.arange(8 * 4, dtype=np.float32).reshape(8, 4)
+        g = jax.device_put(x, NamedSharding(mesh, P("data", "tensor")))
+        with pytest.raises(ValueError, match="batch-only"):
+            local_rows(g)
+
+
 class TestShardingRules:
     def test_specs_divide_or_drop(self):
         cfg = Pi0Config.tiny()
