@@ -97,8 +97,15 @@ def save_checkpoint(
     auxiliary.update(aux or {})
     # written LAST: doubles as the commit marker (each Orbax item dir is
     # internally atomic, but the step dir as a whole is not — restore skips
-    # step dirs without this file)
-    (path / "auxiliary_data.json").write_text(json.dumps(auxiliary, indent=2))
+    # step dirs without this file). Multi-host: the root is shared storage,
+    # so only process 0 writes the marker, and everyone barriers after so
+    # any process returning from save() can immediately restore the step.
+    if jax.process_index() == 0:
+        (path / "auxiliary_data.json").write_text(json.dumps(auxiliary, indent=2))
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(f"intact_tpu_ckpt_commit_{step}")
     return path
 
 

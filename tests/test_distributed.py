@@ -50,11 +50,34 @@ roundtrip = np.asarray(local_rows(g))
 assert roundtrip.shape == local.shape, roundtrip.shape
 assert np.array_equal(roundtrip, local), (roundtrip, local)
 
+# multi-host checkpointing into SHARED storage: a stale partial step dir
+# (pre-created by the parent) must be cleared by process 0 behind the
+# collective barrier, the Orbax save is collective over both processes,
+# and any process can restore the committed step the moment save returns
+import optax
+from pathlib import Path
+from jax.sharding import NamedSharding, PartitionSpec
+from intact_tpu.train.checkpoint import restore_params, save_checkpoint
+from intact_tpu.train.train_step import init_train_state
+
+root = Path(os.environ["INTACT_TPU_TEST_CKPT_ROOT"])
+rep = NamedSharding(mesh, PartitionSpec())
+w = jax.make_array_from_callback(
+    (2, 3), rep, lambda idx: np.full((2, 3), 5.0, np.float32)[idx]
+)
+saved = save_checkpoint(root, init_train_state({"w": w}, optax.sgd(0.0)), step=7)
+restored = restore_params(
+    root, {"w": np.zeros((2, 3), np.float32)}, shardings={"w": rep}
+)
+ckpt_sum = float(jax.jit(lambda a: a.sum())(restored["w"]))
+
 print(json.dumps({
     "rank": rank,
     "mean": mean,
     "broadcast": [float(x) for x in got],
     "global_sum": total,
+    "ckpt_committed": (saved / "auxiliary_data.json").exists(),
+    "ckpt_sum": ckpt_sum,
 }), flush=True)
 """
 
@@ -68,6 +91,12 @@ def _free_port() -> int:
 @pytest.mark.slow
 def test_two_process_initialize_mean_broadcast(tmp_path):
     port = _free_port()
+    ckpt_root = tmp_path / "ckpt"
+    # stale partial leftover of a "crash" at the SAME step the children will
+    # save: no auxiliary_data.json marker, so save must clear it (process 0
+    # only, behind the barrier) rather than fail on both ranks
+    (ckpt_root / "step_7" / "params").mkdir(parents=True)
+    (ckpt_root / "step_7" / "params" / "junk").write_text("x")
     procs = []
     for rank in range(2):
         env = dict(os.environ)
@@ -77,6 +106,7 @@ def test_two_process_initialize_mean_broadcast(tmp_path):
             "PROCESS_ID": str(rank),
             "HF_HUB_OFFLINE": "1",
             "PYTHONPATH": str(REPO),
+            "INTACT_TPU_TEST_CKPT_ROOT": str(ckpt_root),
         })
         # fresh interpreters: conftest's 8-device XLA_FLAGS and the axon
         # platform pin must not leak into the children
@@ -99,3 +129,9 @@ def test_two_process_initialize_mean_broadcast(tmp_path):
         assert o["broadcast"] == [10.0, 10.0, 10.0]
         # global batch saw BOTH hosts' rows: sum(0..5) + sum(0..5 + 600)
         assert o["global_sum"] == 15.0 + 615.0
+        # collective checkpoint: committed marker present, stale junk gone,
+        # restore round-trips 2*3 leaves of 5.0 on both processes
+        assert o["ckpt_committed"] is True
+        assert o["ckpt_sum"] == 30.0
+    assert not (ckpt_root / "step_7" / "params" / "junk").exists()
+    assert (ckpt_root / "step_7" / "auxiliary_data.json").exists()
