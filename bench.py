@@ -186,14 +186,6 @@ def bench_train(args) -> int:
     return 0
 
 
-def _streamed_quantized_init(mod, cfg, policy, key):
-    """Shared with the native serving wrappers (config quantize_int8):
-    models/common.streamed_quantized_init."""
-    from intact_tpu.models.common import streamed_quantized_init
-
-    return streamed_quantized_init(lambda k: mod.init(k, cfg), key, policy)
-
-
 def bench_native_vla(args) -> int:
     """Serving throughput for the native autoregressive VLAs (SpatialVLA-4B,
     Magma-8B): one fused greedy decode per batch, ONE env action executed per
@@ -258,7 +250,9 @@ def bench_native_vla(args) -> int:
         # Magma-8B -> ResourceExhausted on a 16 GB v5e). Leaf-at-a-time,
         # the bf16 intermediate only ever exists for one stacked kernel
         # (<= ~4 GB) beside the accumulating int8 tree.
-        params = _streamed_quantized_init(mod, cfg, policy, jax.random.key(0))
+        from intact_tpu.models.common import streamed_quantized_init
+
+        params = streamed_quantized_init(init_fn, jax.random.key(0), policy)
     else:
         params = jax.jit(init_fn)(jax.random.key(0))
     # tiny-leaf readback: real completion barrier (tunnel quirk)

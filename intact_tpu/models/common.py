@@ -194,11 +194,16 @@ def streamed_quantized_init(
     policy: DtypePolicy = SERVING_POLICY,
     path_filter=None,
     shardings=None,
+    template=None,
 ) -> Params:
     """Random-init a model's params directly in serving-int8 form, one leaf
     at a time on the device. Quantizable kernels (the quantize_params
     default filter) become {kernel_q, kernel_scale}; everything else is
     param-dtype.
+
+    template: optional precomputed ``jax.eval_shape(init_fn, key)`` — callers
+    that already traced the init for shardings pass it in so the full model
+    isn't abstractly traced twice (seconds of host time on an 8B graph).
 
     Why streamed: quantizing inside one jit peaks at fp + int8 of the whole
     model simultaneously (26 GB for Magma-8B -> ResourceExhausted on a
@@ -211,7 +216,8 @@ def streamed_quantized_init(
     """
     import functools
 
-    template = jax.eval_shape(init_fn, key)
+    if template is None:
+        template = jax.eval_shape(init_fn, key)
     counter = [0]
 
     # single jitted helpers with static shape args: leaves sharing a shape
@@ -269,7 +275,14 @@ def quantize_host_tree(
         return out
 
     def make_leaf(node):
-        return jnp.asarray(node, policy.param_dtype)
+        # stays a HOST array: _place device_puts it straight onto its
+        # sharding, so each device receives only its slice — jnp.asarray
+        # here would first materialize the whole leaf on device 0 (e.g.
+        # Magma's ~1 GB vocab embedding), spiking the HBM this streamed
+        # path exists to protect
+        import numpy as np
+
+        return np.asarray(node).astype(policy.param_dtype, copy=False)
 
     return _streamed_tree(raw, make_dense, make_leaf, path_filter, shardings)
 
@@ -289,7 +302,9 @@ def _streamed_tree(tree, make_dense, make_leaf, path_filter, shardings):
     match = path_filter or default.match
 
     def _place(leaf, shard):
-        return jax.device_put(leaf, shard) if shard is not None else leaf
+        # no sharding -> default-device placement (keeps unsharded loads
+        # producing device arrays even when make_leaf hands back host numpy)
+        return jax.device_put(leaf, shard) if shard is not None else jnp.asarray(leaf)
 
     def walk(node, shard_node, path=""):
         if isinstance(node, dict):

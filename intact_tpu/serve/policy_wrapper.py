@@ -698,22 +698,28 @@ def _init_native_serving(mod, cfg, config, policy):
         )
 
     mesh = shardings = batch_shard = None
+    fp_template = None
     if jax.device_count() > 1:
         from intact_tpu.parallel import MeshConfig, make_mesh
         from intact_tpu.parallel.sharding import batch_sharding, param_shardings
 
         m = config.mesh
         mesh = make_mesh(MeshConfig(m.data, m.fsdp, m.tensor))
-        template_fn = (
-            (lambda k: cm.quantize_params(init_fp(k))) if quantize else init_fp
+        # ONE abstract trace of the model init; the quantized template for
+        # shardings is derived by tracing only quantize_params over it
+        # (eval_shape accepts abstract arguments)
+        fp_template = jax.eval_shape(init_fp, seed_key)
+        template = (
+            jax.eval_shape(cm.quantize_params, fp_template)
+            if quantize else fp_template
         )
-        template = jax.eval_shape(template_fn, seed_key)
         shardings = param_shardings(template, mesh)
         batch_shard = batch_sharding(mesh)
 
     if quantize:
         params = cm.streamed_quantized_init(
-            init_fp, seed_key, policy, shardings=shardings
+            init_fp, seed_key, policy, shardings=shardings,
+            template=fp_template,
         )
     else:
         params = jax.jit(init_fp, out_shardings=shardings)(seed_key)

@@ -58,32 +58,34 @@ def save_checkpoint(
     callers with accumulation must pass the update count explicitly."""
     step = int(state.step) if step is None else int(step)
     path = step_dir(ckpt_root, step).resolve()
-    if path.exists() and any(path.iterdir()):
-        if (path / "auxiliary_data.json").exists():
-            # a COMMITTED checkpoint already lives here (same log_dir reused,
-            # or resuming from an older step re-crossed this update). Deleting
-            # it and crashing mid-rewrite would lose a good save — refuse,
-            # like Orbax itself would, and make the operator decide.
-            raise FileExistsError(
-                f"{path} already holds a committed checkpoint; refusing to "
-                "overwrite. Delete the step dir explicitly (or save under a "
-                "new checkpoint root) if this is intended."
-            )
+    if (path / "auxiliary_data.json").exists():
+        # a COMMITTED checkpoint already lives here (same log_dir reused,
+        # or resuming from an older step re-crossed this update). Deleting
+        # it and crashing mid-rewrite would lose a good save — refuse,
+        # like Orbax itself would, and make the operator decide. Probed on
+        # EVERY process before the barrier: committed dirs are never
+        # deleted, so all ranks see the same answer and raise together
+        # (rank-0-only raising would strand the others in the barrier).
+        raise FileExistsError(
+            f"{path} already holds a committed checkpoint; refusing to "
+            "overwrite. Delete the step dir explicitly (or save under a "
+            "new checkpoint root) if this is intended."
+        )
+    if jax.process_index() == 0 and path.exists() and any(path.iterdir()):
         # stale partial leftovers of a crash mid-save (no commit marker),
         # which resume correctly skipped — clear them so the retry at this
         # update can save. Orbax refuses to overwrite an existing item dir,
         # so without this every retry would crash at the same update.
-        # Multi-host: the checkpoint root is shared storage and save() runs
-        # on every process, so only process 0 removes; everyone barriers
-        # below before any process starts writing.
+        # Multi-host: the root is shared storage, so ONLY process 0 probes
+        # and removes (a non-zero rank's exists()/iterdir() would race the
+        # rmtree); everyone barriers below before any process writes.
         import logging
         import shutil
 
         logging.getLogger("intact_tpu.checkpoint").warning(
             "clearing stale partial step dir %s", path
         )
-        if jax.process_index() == 0:
-            shutil.rmtree(path)
+        shutil.rmtree(path)
     if jax.process_count() > 1:
         from jax.experimental import multihost_utils
 
