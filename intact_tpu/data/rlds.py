@@ -35,9 +35,9 @@ import tensorflow as tf
 
 from intact_tpu.data import stats as stats_lib
 from intact_tpu.data.tf_transforms import (
-    augment_image_tf,
     chunk_act_obs_tf,
     decode_and_resize_tf,
+    decode_augment_resize_tf,
 )
 
 AUTOTUNE = tf.data.AUTOTUNE
@@ -317,16 +317,20 @@ def apply_frame_transforms(
         image_keys = sorted(k for k in obs if k.startswith("image_"))
         for j, key in enumerate(image_keys):
             img = obs[key]  # [window, H, W, C]
-            img = tf.map_fn(
-                lambda im: decode_and_resize_tf(im, resize_size), img,
-                fn_output_signature=tf.uint8,
-            )
             if train and augment:
+                # fused decode+crop+resize+jitter: ONE resize over the
+                # source-frame crop instead of full-frame lanczos3 + a
+                # second crop/resize (see decode_augment_resize_tf)
                 seed = tf.stack(
                     [tf.cast(seed_offset, tf.int32) * 31 + j, augment_seed]
                 )
                 img = tf.map_fn(
-                    lambda im: augment_image_tf(im, seed), img,
+                    lambda im: decode_augment_resize_tf(im, resize_size, seed),
+                    img, fn_output_signature=tf.uint8,
+                )
+            else:
+                img = tf.map_fn(
+                    lambda im: decode_and_resize_tf(im, resize_size), img,
                     fn_output_signature=tf.uint8,
                 )
             if train and image_dropout_prob > 0.0 and key != "image_primary":

@@ -193,33 +193,93 @@ def padding_image_tf(size: tuple[int, int]) -> tf.Tensor:
     return tf.zeros((size[0], size[1], 3), tf.uint8)
 
 
+def _crop_resize_jitter_tf(
+    image_f32: tf.Tensor, out_size: tuple[int, int], seeds
+) -> tf.Tensor:
+    """Shared augment core: random-resized-crop (scale [0.8, 1.0]) fused
+    into ONE bilinear crop_and_resize pass, then brightness/contrast/
+    saturation/hue jitter with a single explicit HSV round trip (the
+    tf.image.stateless_random_{saturation,hue} pair hides TWO rgb<->hsv
+    conversions; fusing them halves the colorspace work). float32 [H,W,3]
+    in [0,255] -> uint8 [out_h, out_w, 3]. seeds: 6 stateless seeds
+    (scale, offset, brightness, contrast, saturation, hue)."""
+    shape = tf.shape(image_f32)
+    h = tf.cast(shape[-3], tf.float32)
+    w = tf.cast(shape[-2], tf.float32)
+
+    # crop box in normalized pixel-center coordinates
+    scale = tf.random.stateless_uniform([], seeds[0], 0.8, 1.0)
+    side = tf.sqrt(scale)
+    ch = tf.floor(h * side)
+    cw = tf.floor(w * side)
+    off = tf.random.stateless_uniform([2], seeds[1], 0.0, 1.0)
+    oy = tf.floor(off[0] * (h - ch + 1.0))
+    ox = tf.floor(off[1] * (w - cw + 1.0))
+    box = tf.stack([
+        oy / (h - 1.0), ox / (w - 1.0),
+        (oy + ch - 1.0) / (h - 1.0), (ox + cw - 1.0) / (w - 1.0),
+    ])
+    x = tf.image.crop_and_resize(
+        image_f32[tf.newaxis], box[tf.newaxis], [0], out_size
+    )[0] / 255.0
+
+    # color jitter, one elementwise chain + one HSV round trip
+    x = x + tf.random.stateless_uniform([], seeds[2], -0.1, 0.1)
+    c = tf.random.stateless_uniform([], seeds[3], 0.9, 1.1)
+    mean = tf.reduce_mean(x, axis=[-3, -2], keepdims=True)
+    x = (x - mean) * c + mean
+    sf = tf.random.stateless_uniform([], seeds[4], 0.9, 1.1)
+    hd = tf.random.stateless_uniform([], seeds[5], -0.05, 0.05)
+    hsv = tf.image.rgb_to_hsv(tf.clip_by_value(x, 0.0, 1.0))
+    hue = tf.math.floormod(hsv[..., 0] + hd, 1.0)
+    sat = tf.clip_by_value(hsv[..., 1] * sf, 0.0, 1.0)
+    x = tf.image.hsv_to_rgb(tf.stack([hue, sat, hsv[..., 2]], axis=-1))
+    return tf.cast(tf.clip_by_value(x, 0.0, 1.0) * 255.0, tf.uint8)
+
+
 def augment_image_tf(image: tf.Tensor, seed: tf.Tensor) -> tf.Tensor:
     """Stateless (seeded) augmentation recipe the reference trains with
     (`agent/dataset.py:32-44`): random_resized_crop scale [0.8, 1.0] then
-    brightness/contrast/saturation/hue jitter. uint8 in/out."""
+    brightness/contrast/saturation/hue jitter. uint8 in/out (same size)."""
     shape = tf.shape(image)
-    h, w = shape[-3], shape[-2]
     seeds = tf.unstack(
         tf.random.experimental.stateless_split(seed, num=6), num=6
     )
-
-    # random resized crop
-    scale = tf.random.stateless_uniform([], seeds[0], 0.8, 1.0)
-    ch = tf.cast(tf.cast(h, tf.float32) * tf.sqrt(scale), tf.int32)
-    cw = tf.cast(tf.cast(w, tf.float32) * tf.sqrt(scale), tf.int32)
-    image = tf.image.stateless_random_crop(
-        image, tf.concat([[ch, cw], shape[-1:]], 0), seed=seeds[1]
-    )
-    image = tf.cast(
-        tf.clip_by_value(
-            tf.image.resize(tf.cast(image, tf.float32), (h, w)), 0, 255
-        ),
-        tf.uint8,
+    return _crop_resize_jitter_tf(
+        tf.cast(image, tf.float32), (shape[-3], shape[-2]), seeds
     )
 
-    x = tf.cast(image, tf.float32) / 255.0
-    x = tf.image.stateless_random_brightness(x, 0.1, seeds[2])
-    x = tf.image.stateless_random_contrast(x, 0.9, 1.1, seeds[3])
-    x = tf.image.stateless_random_saturation(x, 0.9, 1.1, seeds[4])
-    x = tf.image.stateless_random_hue(x, 0.05, seeds[5])
-    return tf.cast(tf.clip_by_value(x, 0.0, 1.0) * 255.0, tf.uint8)
+
+def decode_augment_resize_tf(
+    image: tf.Tensor, size: tuple[int, int], seed: tf.Tensor
+) -> tf.Tensor:
+    """Fused train-path frame transform: decode, random-resized-crop on the
+    SOURCE frame, ONE resize to `size`, color jitter.
+
+    Replaces decode_and_resize_tf + augment_image_tf on the training path:
+    that pair resizes twice (full-frame lanczos3 to `size`, then crop +
+    bilinear back to `size`); cropping the raw frame and resizing once is
+    both ~2x cheaper and closer to the reference's torchvision
+    RandomResizedCrop, which crops the source image (`agent/dataset.py:
+    32-44`). Padding cameras (empty byte string) stay all-zero — jitter
+    would turn synthetic black frames gray."""
+    if image.dtype == tf.string:
+        is_padding = tf.strings.length(image) == 0
+        image = tf.cond(
+            is_padding,
+            lambda: tf.zeros((1, 1, 3), tf.uint8),
+            lambda: tf.ensure_shape(
+                tf.io.decode_image(image, expand_animations=False, channels=3),
+                [None, None, 3],
+            ),
+        )
+    else:
+        is_padding = tf.constant(False)
+    seeds = tf.unstack(
+        tf.random.experimental.stateless_split(seed, num=6), num=6
+    )
+    return tf.cond(
+        is_padding,
+        lambda: tf.zeros((size[0], size[1], 3), tf.uint8),
+        lambda: _crop_resize_jitter_tf(tf.cast(image, tf.float32), size, seeds),
+    )

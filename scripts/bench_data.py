@@ -2,10 +2,10 @@
 operating point (jpeg-encoded 256px source frames -> decode -> augment ->
 resize 224 -> chunk(horizon 4) -> shuffle -> batch).
 
-Purpose: show the tf.data host pipeline can out-feed the train step (47.4
-samples/s/chip for the Pi0 expert-only fine-tune) — i.e. training is
-device-bound, not input-bound — and give a number to compare when tuning
-thread allocation on real TPU-VM hosts. The reference has no equivalent
+Purpose: show the tf.data host pipeline can out-feed the train step (91.2
+samples/s/chip for the Pi0 expert-only fine-tune, 125.7 int8-tower) — i.e.
+training is device-bound, not input-bound — and give a number to compare
+when tuning thread allocation on real TPU-VM hosts. The reference has no equivalent
 measurement (its test_rlds_dataset.py only counts transitions).
 
 Writes a synthetic TFDS-layout TFRecord dataset once (cached under
@@ -32,8 +32,9 @@ import numpy as np
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-# the train-side comparison point (README: Pi0 expert-only fine-tune)
-TRAIN_SAMPLES_PER_SEC_PER_CHIP = 47.4
+# the train-side comparison point (README: Pi0 expert-only fine-tune, bf16
+# fast path; the int8-frozen-tower point consumes 125.7)
+TRAIN_SAMPLES_PER_SEC_PER_CHIP = 91.2
 
 
 def ensure_dataset(workdir: Path, hw: int, n_traj: int, steps: int) -> Path:

@@ -67,6 +67,31 @@ class TestTfNumpyParity:
         out2 = tf_t.decode_and_resize_tf(encoded, (32, 32)).numpy()
         assert out2.shape == (32, 32, 3)
 
+    def test_decode_augment_resize_fused(self):
+        """The fused train-path transform: deterministic under a seed,
+        source-resolution crop -> target size, and padding cameras (empty
+        byte string) stay exactly zero (jitter must not gray them out)."""
+        rng = np.random.default_rng(1)
+        img = rng.integers(0, 255, (48, 64, 3)).astype(np.uint8)
+        encoded = tf.io.encode_jpeg(tf.constant(img))
+        seed = tf.constant([7, 8], tf.int32)
+        a = tf_t.decode_augment_resize_tf(encoded, (32, 32), seed).numpy()
+        b = tf_t.decode_augment_resize_tf(encoded, (32, 32), seed).numpy()
+        np.testing.assert_array_equal(a, b)
+        assert a.shape == (32, 32, 3) and a.dtype == np.uint8
+        c = tf_t.decode_augment_resize_tf(
+            encoded, (32, 32), tf.constant([9, 10], tf.int32)
+        ).numpy()
+        assert not np.array_equal(a, c)
+        # decoded-tensor input works too
+        d = tf_t.decode_augment_resize_tf(tf.constant(img), (32, 32), seed).numpy()
+        assert d.shape == (32, 32, 3)
+        # padding camera: all-zero in, all-zero out
+        pad = tf_t.decode_augment_resize_tf(
+            tf.constant("", tf.string), (32, 32), seed
+        ).numpy()
+        np.testing.assert_array_equal(pad, 0)
+
 
 class TestInterleavedPipeline:
     @pytest.fixture(scope="class")
