@@ -22,10 +22,12 @@ Shared-state semantics, pinned:
     ensembler). The shared policy is stateless across co-batched clients by
     construction (chunk sampling takes no episode state), so one client's
     reset can never clobber a neighbor mid-episode.
-  * switch_model — global (one model on the chip). It runs on the single
-    device thread, so every queued inference batch drains first and no
-    in-flight sample ever sees half-swapped params; requests arriving during
-    the load queue behind it and are answered by the new model.
+  * switch_model — global (one model on the chip). It travels through the
+    request queue as a control request, so ARRIVAL ORDER is authoritative:
+    observations queued before the swap are answered by the old model,
+    everything after by the new one; the load itself runs on the single
+    device thread, serialized against in-flight infer_batch calls, so no
+    sample ever sees half-swapped params.
 """
 
 from __future__ import annotations
@@ -44,12 +46,18 @@ from intact_tpu.utils.monitor import setup_logger
 
 
 class _Request:
-    __slots__ = ("inputs", "session", "future")
+    __slots__ = ("inputs", "session", "future", "switch_path")
 
-    def __init__(self, inputs, session, future):
+    def __init__(self, inputs, session, future, switch_path=None):
         self.inputs = inputs
         self.session = session
         self.future = future
+        # non-None marks a switch_model CONTROL request: it travels through
+        # the same queue as inference so arrival order is authoritative —
+        # requests queued before it are answered by the old model, requests
+        # after it by the new one (submitting the swap straight to the
+        # device executor could overtake obs still waiting in the queue)
+        self.switch_path = switch_path
 
 
 class BatchingPolicyServer:
@@ -152,38 +160,74 @@ class BatchingPolicyServer:
                     n_batches, n_requests / n_batches,
                 )
 
-            groups: dict[object, list[_Request]] = {}
+            # split at switch_model control requests so arrival order holds:
+            # infer everything queued before the swap with the old model,
+            # swap, then infer what arrived after with the new one
+            segment: list[_Request] = []
             for r in batch:
+                if r.switch_path is None:
+                    segment.append(r)
+                    continue
+                await self._run_segment(loop, segment)
+                segment = []
                 try:
-                    key = self._wrapper.fuse_key(r.inputs)
-                except Exception as e:  # noqa: BLE001 — malformed inputs
+                    await loop.run_in_executor(
+                        self._device_executor,
+                        self._wrapper.switch_model, r.switch_path,
+                    )
+                    if not r.future.done():
+                        r.future.set_result({"status": "model switched"})
+                except Exception as e:  # noqa: BLE001 — bad path / load error
                     if not r.future.done():
                         r.future.set_exception(e)
-                    continue
-                groups.setdefault(key, []).append(r)
+            await self._run_segment(loop, segment)
 
-            for reqs in groups.values():
-                try:
-                    results = await loop.run_in_executor(
-                        self._device_executor,
-                        self._wrapper.infer_batch,
-                        [(r.inputs, r.session) for r in reqs],
+    async def _run_segment(self, loop, segment: list[_Request]):
+        """Group co-fusable requests (same fuse_key — a client sending odd
+        shapes forms its own group instead of poisoning neighbors) and run
+        the device once per group."""
+        if not segment:
+            return
+        groups: dict[object, list[_Request]] = {}
+        for r in segment:
+            try:
+                key = self._wrapper.fuse_key(r.inputs)
+            except Exception as e:  # noqa: BLE001 — malformed inputs
+                if not r.future.done():
+                    r.future.set_exception(e)
+                continue
+            groups.setdefault(key, []).append(r)
+
+        for reqs in groups.values():
+            try:
+                results = await loop.run_in_executor(
+                    self._device_executor,
+                    self._wrapper.infer_batch,
+                    [(r.inputs, r.session) for r in reqs],
+                )
+                if len(results) != len(reqs):
+                    # a family fuse violating the N-in/N-out contract must
+                    # surface as a group error — zip would silently skip the
+                    # tail and leave those clients awaiting forever
+                    raise RuntimeError(
+                        f"infer_batch returned {len(results)} results for "
+                        f"{len(reqs)} requests"
                     )
-                    # per-request outcomes: one client's bad input or failing
-                    # postprocess must not kill its co-batched neighbors'
-                    # episodes (the reference's per-request server only loses
-                    # the offending connection)
-                    for req, res in zip(reqs, results):
-                        if req.future.done():
-                            continue
-                        if isinstance(res, Exception):
-                            req.future.set_exception(res)
-                        else:
-                            req.future.set_result(res)
-                except Exception as e:  # device-call failure: hits the group
-                    for req in reqs:
-                        if not req.future.done():
-                            req.future.set_exception(e)
+                # per-request outcomes: one client's bad input or failing
+                # postprocess must not kill its co-batched neighbors'
+                # episodes (the reference's per-request server only loses
+                # the offending connection)
+                for req, res in zip(reqs, results):
+                    if req.future.done():
+                        continue
+                    if isinstance(res, Exception):
+                        req.future.set_exception(res)
+                    else:
+                        req.future.set_result(res)
+            except Exception as e:  # device-call failure: hits the group
+                for req in reqs:
+                    if not req.future.done():
+                        req.future.set_exception(e)
 
     # ------------------------------------------------------------------
 
@@ -198,15 +242,18 @@ class BatchingPolicyServer:
                 obs = msgpack_numpy.unpackb(await websocket.recv())
 
                 if isinstance(obs, dict) and obs.get("new_model_path") is not None:
-                    # model swap is global to the shared policy. Running it on
-                    # the single device thread drains queued inference batches
-                    # first, so no in-flight sample uses half-swapped params;
-                    # requests arriving during the load simply queue behind it.
-                    await loop.run_in_executor(
-                        self._device_executor,
-                        self._wrapper.switch_model, obs["new_model_path"],
-                    )
-                    await websocket.send(packer.pack({"status": "model switched"}))
+                    # model swap is global to the shared policy. It travels
+                    # through the request queue as a CONTROL request, so
+                    # observations queued before it are answered by the old
+                    # model and everything after by the new one; the worker
+                    # runs the load on the single device thread, which also
+                    # serializes it against in-flight infer_batch calls.
+                    future = loop.create_future()
+                    await self._queue.put(_Request(
+                        None, session, future,
+                        switch_path=obs["new_model_path"],
+                    ))
+                    await websocket.send(packer.pack(await future))
                     continue
 
                 if isinstance(obs, dict) and obs.get("reset", False):

@@ -39,6 +39,11 @@ class PolicySession:
     def __init__(self, wrapper: "BasePolicyWrapper", adapter):
         self.wrapper = wrapper
         self.adapter = adapter
+        # episode state predicted by a model that has since been hot-swapped
+        # must not leak into the new model's episodes (Octo history frames,
+        # SpatialVLA ensembler chunks): infer_batch resets any session whose
+        # generation lags the wrapper's
+        self.model_generation = getattr(wrapper, "model_generation", 0)
         if self.wants_uint8 and hasattr(adapter, "output_uint8"):
             adapter.output_uint8 = True
 
@@ -51,6 +56,9 @@ class PolicySession:
 
 class BasePolicyWrapper:
     session_cls = PolicySession
+    # class-level default so partially-constructed wrappers (test stubs via
+    # __new__) still satisfy the generation protocol; __init__ shadows it
+    model_generation = 0
 
     def __init__(self, config):
         self.config = config
@@ -59,6 +67,8 @@ class BasePolicyWrapper:
         self.env_adapter = get_class_from_path(config.eval_cfg.env_adapter_path)(config)
         self.action_step = config.eval_cfg.action_step
         self._default_session: PolicySession | None = None
+        # bumped by every switch_model so live sessions detect the swap
+        self.model_generation = 0
 
     # ------------------------------------------------------------------
     # session / fuse surface (consumed by serve.batching)
@@ -84,7 +94,23 @@ class BasePolicyWrapper:
         batch; the batching server groups by it, so a client sending odd
         shapes (or dtypes — uint8 frames must never concatenate into a
         float batch un-normalized) forms its own group instead of poisoning
-        neighbors."""
+        neighbors.
+
+        Also the per-request validation gate: raising here rejects ONLY the
+        offending request (the server catches fuse_key errors per request).
+        The rows to task-strings consistency check lives here because a
+        request whose task list is shorter than its image rows would
+        silently shift every co-batched NEIGHBOR's language conditioning
+        after the row-offset flatten in the fuse implementations."""
+        task = inputs.get("task")
+        img = inputs.get("image")
+        if isinstance(task, (list, tuple)) and isinstance(img, np.ndarray):
+            if len(task) != img.shape[0] or not task:
+                raise ValueError(
+                    f"request has {img.shape[0]} image row(s) but "
+                    f"{len(task)} task string(s); per-row task conditioning "
+                    "requires one task per row"
+                )
         return tuple(
             (k, v.shape[1:], str(v.dtype))
             for k, v in sorted(inputs.items())
@@ -134,6 +160,15 @@ class BasePolicyWrapper:
         items than its compiled bucket ceiling (a fuse beyond the ceiling
         would otherwise compute a negative pad and crash the whole group).
         """
+        # a session created before a hot model swap carries episode state the
+        # OLD model produced (Octo history, SpatialVLA ensembler chunks);
+        # blending it with new-model predictions silently corrupts actions,
+        # so lagging sessions reset at their next inference
+        for _, session in items:
+            if session.model_generation != self.model_generation:
+                session.reset()
+                session.model_generation = self.model_generation
+
         max_b = max(int(self.config.eval_cfg.max_batch_size), 1)
         if len(items) <= max_b:
             return self._infer_fused(items)
@@ -303,6 +338,7 @@ class Pi0PolicyWrapper(BasePolicyWrapper):
     def switch_model(self, new_model_path: str) -> None:
         self.policy.load(new_model_path)
         self.env_adapter.reset()
+        self.model_generation += 1
 
     def warmup_inputs(self) -> dict:
         h, w = self.config.env.image_size
@@ -489,6 +525,7 @@ class OctoPolicyWrapper(BasePolicyWrapper):
 
             self.params = ckpt_lib.restore_params(new_model_path, self.params)
         self.reset()
+        self.model_generation += 1
 
     def warmup_inputs(self) -> dict:
         cfg = self.model_cfg
@@ -498,7 +535,10 @@ class OctoPolicyWrapper(BasePolicyWrapper):
         return {
             "images": np.zeros((1, cfg.history, h, w, 3), np.uint8),
             "img_masks": np.ones((1, cfg.history), bool),
-            "state": np.zeros((1, cfg.action_dim), np.float32),
+            # proprio_dim, NOT action_dim: they default equal (7) but a
+            # model with a wider proprio would otherwise prewarm the wrong
+            # state shape and pay a cold compile on the first real request
+            "state": np.zeros((1, cfg.proprio_dim), np.float32),
             "task": ["warmup"],
         }
 
@@ -551,10 +591,17 @@ class SpatialVLAPolicyWrapper(BasePolicyWrapper):
         from transformers import AutoModel
 
         self.model = AutoModel.from_pretrained(new_model_path, trust_remote_code=True)
+        self.model_generation += 1
 
     def _infer_one(self, inputs: dict, session: PolicySession) -> np.ndarray:
+        from intact_tpu.utils.device import float_to_u8
+
+        # AutoProcessor expects uint8/PIL pixels and applies its own
+        # rescale+normalize; the adapter hands back float [-1, 1] frames,
+        # which would be re-normalized into near-black noise
+        image = float_to_u8(np.asarray(inputs["image"]))[0]
         hf_inputs = self.processor(
-            images=inputs["image"], text=inputs["task"][0], return_tensors="pt"
+            images=image, text=inputs["task"][0], return_tensors="pt"
         )
         out = self.model.predict_action(hf_inputs)
         actions = self.processor.decode_actions(out, unnorm_key=self.unnorm_key)
@@ -589,6 +636,7 @@ class MagmaPolicyWrapper(BasePolicyWrapper):
         self.model = AutoModelForCausalLM.from_pretrained(
             new_model_path, trust_remote_code=True
         )
+        self.model_generation += 1
 
     def _infer_one(self, inputs: dict, session: PolicySession) -> np.ndarray:
         from intact_tpu.serve.decoding import (
@@ -596,14 +644,26 @@ class MagmaPolicyWrapper(BasePolicyWrapper):
             tokens_to_actions,
         )
 
+        from intact_tpu.utils.device import float_to_u8
+
         convo = [{"role": "user", "content": f"<image>\nWhat action should the robot take to {inputs['task'][0]}?"}]
         prompt = self.processor.tokenizer.apply_chat_template(
             convo, tokenize=False, add_generation_prompt=True
         )
-        hf_inputs = self.processor(images=inputs["image"], texts=prompt, return_tensors="pt")
+        # uint8 pixels for the processor's own rescale+normalize (adapter
+        # emits float [-1, 1])
+        image = float_to_u8(np.asarray(inputs["image"]))[0]
+        hf_inputs = self.processor(images=image, texts=prompt, return_tensors="pt")
         output_ids = self.model.generate(**hf_inputs, max_new_tokens=1000, use_cache=False)
         action_ids = np.asarray(output_ids)[0, -(self.N_ACTION_TOKENS + 1):-1]
-        norm = tokens_to_actions(action_ids, vocab_size=len(self.processor.tokenizer))
+        # bin = vocab - id - 1 counts from the END of the model's OUTPUT
+        # vocab: use the model config's vocab_size (the logits/embedding
+        # width), NOT len(tokenizer) — checkpoints that pad the embedding
+        # beyond the tokenizer would shift every action by the pad amount
+        vocab = getattr(self.model.config, "vocab_size", None) or len(
+            self.processor.tokenizer
+        )
+        norm = tokens_to_actions(action_ids, vocab_size=vocab)
         stats = session.adapter.dataset_statistics["action"]
         mask = np.array([True] * 6 + [False])
         raw = denormalize_with_quantiles(norm, stats["p01"], stats["p99"], mask)
@@ -675,7 +735,7 @@ class SpatialVLASession(PolicySession):
         self.ensembler.reset()
 
 
-def _init_native_serving(mod, cfg, config, policy):
+def _init_native_serving(mod, cfg, config, policy, materialize: bool = True):
     """Build the device param tree for a native AR wrapper (SpatialVLA /
     Magma): (params, mesh, shardings, batch_sharding, quantize).
 
@@ -684,7 +744,11 @@ def _init_native_serving(mod, cfg, config, policy):
     Magma-8B, whose 17.8 GB bf16 weights exceed one v5e's HBM (8.9 GB
     int8 fits). On a multi-device host both fp and int8 trees shard by the
     same path rules (the `kernel(_q)?` patterns in parallel/sharding.py);
-    kernel_scale falls to the replicated catch-all."""
+    kernel_scale falls to the replicated catch-all.
+
+    materialize=False returns an abstract (ShapeDtypeStruct) param tree —
+    for wrappers about to switch_model to a checkpoint, where a random
+    init would be discarded unused."""
     import jax
 
     from intact_tpu.models import common as cm
@@ -716,7 +780,19 @@ def _init_native_serving(mod, cfg, config, policy):
         shardings = param_shardings(template, mesh)
         batch_shard = batch_sharding(mesh)
 
-    if quantize:
+    if not materialize:
+        # a pretrained checkpoint will immediately replace the params, so
+        # materializing a random tree (minutes of streamed device init for
+        # an 8B model) would be thrown-away work: hand back the ABSTRACT
+        # tree instead — every downstream consumer before switch_model
+        # (restore templates, shape checks) only reads .shape/.dtype
+        if fp_template is None:
+            fp_template = jax.eval_shape(init_fp, seed_key)
+        params = (
+            jax.eval_shape(cm.quantize_params, fp_template)
+            if quantize else fp_template
+        )
+    elif quantize:
         params = cm.streamed_quantized_init(
             init_fp, seed_key, policy, shardings=shardings,
             template=fp_template,
@@ -745,6 +821,35 @@ def _put_native_checkpoint(raw, policy, shardings, quantize):
             raw, shardings,
         )
     return jax.tree.map(lambda x: jnp.asarray(x, policy.param_dtype), raw)
+
+
+def _native_switch_model(wrapper, mod, load_fn, new_model_path) -> None:
+    """Shared switch_model for the native AR wrappers (SpatialVLA / Magma):
+    an HF safetensors snapshot DIRECTORY routes to the family importer,
+    anything else to Orbax step-dir restore. A direct *.safetensors FILE
+    path raises with a pointer — the importers consume the snapshot
+    directory (sharded index + shards), and silently falling through to the
+    Orbax branch produced a confusing restore error."""
+    import os
+
+    if str(new_model_path).endswith(".safetensors"):
+        raise ValueError(
+            f"{new_model_path} is a safetensors FILE; pass its snapshot "
+            "directory (the importer reads the index + every shard)"
+        )
+    if os.path.isdir(new_model_path) and any(
+        f.endswith(".safetensors") for f in os.listdir(new_model_path)
+    ):
+        raw = load_fn(new_model_path, wrapper.model_cfg)
+        wrapper.params = _put_native_checkpoint(
+            raw, wrapper._policy, wrapper._shardings, wrapper._quantize
+        )
+    else:
+        wrapper.params = _restore_native_orbax(
+            mod, wrapper.model_cfg, new_model_path, wrapper._policy,
+            wrapper.params, wrapper._shardings, wrapper._quantize,
+        )
+    wrapper.model_generation += 1
 
 
 def _restore_native_orbax(mod, cfg, path, policy, self_params, shardings, quantize):
@@ -795,11 +900,11 @@ class SpatialVLANativePolicyWrapper(BasePolicyWrapper):
         # multi-chip host: shard params over the configured mesh and fused
         # batches over (data, fsdp) — same scheme as Pi0Policy/Magma;
         # eval_cfg.quantize_int8 serves W8A8 (gate via action_parity int8)
+        path = config.eval_cfg.pretrained_model_path
         (self.params, self.mesh, self._shardings, self._batch_sharding,
-         self._quantize) = _init_native_serving(svla, cfg, config, policy)
-        from intact_tpu.utils.device import drain_device_queue
-
-        drain_device_queue(self.params)  # tunnel lowering-stall workaround
+         self._quantize) = _init_native_serving(
+            svla, cfg, config, policy, materialize=not path,
+        )
         # PaliGemma2 tokenizer asset (spatial tokens appended at the tail);
         # hermetic hash fallback when unconfigured
         self.tokenizer = make_tokenizer(
@@ -815,27 +920,17 @@ class SpatialVLANativePolicyWrapper(BasePolicyWrapper):
             )
 
         self._predict = jax.jit(predict_u8)
-        path = config.eval_cfg.pretrained_model_path
         if path:
             self.switch_model(path)
+        from intact_tpu.utils.device import drain_device_queue
+
+        drain_device_queue(self.params)  # tunnel lowering-stall workaround
 
     def switch_model(self, new_model_path: str) -> None:
-        import os
-
-        if any(
-            f.endswith(".safetensors") for f in (
-                os.listdir(new_model_path) if os.path.isdir(new_model_path) else []
-            )
-        ):
-            raw = self._svla.load_spatialvla_checkpoint(new_model_path, self.model_cfg)
-            self.params = _put_native_checkpoint(
-                raw, self._policy, self._shardings, self._quantize
-            )
-        else:
-            self.params = _restore_native_orbax(
-                self._svla, self.model_cfg, new_model_path, self._policy,
-                self.params, self._shardings, self._quantize,
-            )
+        _native_switch_model(
+            self, self._svla, self._svla.load_spatialvla_checkpoint,
+            new_model_path,
+        )
         self.reset()
 
     def warmup_inputs(self) -> dict:
@@ -935,11 +1030,11 @@ class MagmaNativePolicyWrapper(BasePolicyWrapper):
         # eval_cfg.quantize_int8 is THE single-chip mode for Magma-8B
         # (17.8 GB bf16 > one v5e's HBM; 8.9 GB int8 fits) — bf16 serving
         # runs sharded over the mesh. Gate fidelity via action_parity int8.
+        path = config.eval_cfg.pretrained_model_path
         (self.params, self.mesh, self._shardings, self._batch_sharding,
-         self._quantize) = _init_native_serving(magma, cfg, config, policy)
-        from intact_tpu.utils.device import drain_device_queue
-
-        drain_device_queue(self.params)  # tunnel lowering-stall workaround
+         self._quantize) = _init_native_serving(
+            magma, cfg, config, policy, materialize=not path,
+        )
         # Magma tokenizes with the LLaMA-3 tokenizer; explicit asset or the
         # hermetic hash fallback (make_tokenizer warns loudly). The hash
         # fallback's vocab is bounded below image_token_id so text tokens
@@ -956,27 +1051,17 @@ class MagmaNativePolicyWrapper(BasePolicyWrapper):
             )
 
         self._generate = jax.jit(generate_u8)
-        path = config.eval_cfg.pretrained_model_path
         if path:
             self.switch_model(path)
+        from intact_tpu.utils.device import drain_device_queue
+
+        drain_device_queue(self.params)  # tunnel lowering-stall workaround
 
     def switch_model(self, new_model_path: str) -> None:
-        import os
-
-        if any(
-            f.endswith(".safetensors") for f in (
-                os.listdir(new_model_path) if os.path.isdir(new_model_path) else []
-            )
-        ):
-            raw = self._magma.load_magma_checkpoint(new_model_path, self.model_cfg)
-            self.params = _put_native_checkpoint(
-                raw, self._policy, self._shardings, self._quantize
-            )
-        else:
-            self.params = _restore_native_orbax(
-                self._magma, self.model_cfg, new_model_path, self._policy,
-                self.params, self._shardings, self._quantize,
-            )
+        _native_switch_model(
+            self, self._magma, self._magma.load_magma_checkpoint,
+            new_model_path,
+        )
         self.env_adapter.reset()
 
     def warmup_inputs(self) -> dict:

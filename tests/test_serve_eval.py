@@ -396,6 +396,96 @@ class TestSessionIsolation:
         assert len(a.ensembler.history) == 0
         assert len(b.ensembler.history) == 2
 
+    def test_sessions_reset_after_model_swap(self):
+        """A live session created before a hot model swap carries OLD-model
+        episode state (ensembler chunks); its next inference must reset it
+        rather than blend old- and new-model predictions."""
+        from intact_tpu.serve.policy_wrapper import SpatialVLANativePolicyWrapper
+
+        cfg = make_cfg(port=0)
+        cfg.model_cfg = {"type": "spatialvla_native_tiny"}
+        wrapper = SpatialVLANativePolicyWrapper(cfg)
+        sess = wrapper.new_session()
+        chunk = np.zeros((wrapper.model_cfg.n_action_steps, 7), np.float32)
+        sess.ensembler.ensemble(chunk)
+        sess.ensembler.ensemble(chunk)
+        assert len(sess.ensembler.history) == 2
+        wrapper.model_generation += 1  # what every switch_model does
+        out = wrapper.infer_batch([(wrapper.warmup_inputs(), sess)])
+        assert not isinstance(out[0], Exception), out[0]
+        # stale history cleared BEFORE the new model's chunk was ensembled
+        assert len(sess.ensembler.history) == 1
+        assert sess.model_generation == wrapper.model_generation
+
+    def test_fuse_key_rejects_task_row_mismatch(self):
+        """A request whose task list disagrees with its image row count must
+        be rejected alone (fuse_key raises; the server isolates it) — fused
+        row-offset slicing would otherwise shift NEIGHBORS' language
+        conditioning silently."""
+        from intact_tpu.serve.policy_wrapper import Pi0PolicyWrapper
+
+        wrapper = Pi0PolicyWrapper(make_cfg(port=0))
+        good = {
+            "image": np.zeros((2, 4, 4, 3), np.uint8),
+            "state": np.zeros((2, 8), np.float32),
+            "task": ["a", "b"],
+        }
+        assert wrapper.fuse_key(good)
+        for bad_task in (["a"], []):
+            with pytest.raises(ValueError, match="task"):
+                wrapper.fuse_key({**good, "task": bad_task})
+
+
+class TestSwitchModelOrdering:
+    def test_swap_splits_collected_batch_in_arrival_order(self):
+        """switch_model travels through the request queue: observations
+        queued before it are answered by the OLD model, ones after by the
+        NEW one — submitting the swap straight to the device executor could
+        overtake requests still waiting in the queue."""
+        import asyncio
+
+        from intact_tpu.serve.batching import BatchingPolicyServer, _Request
+
+        class FakeWrapper:
+            version = 0
+
+            def fuse_key(self, inputs):
+                return "k"
+
+            def infer_batch(self, items):
+                return [self.version] * len(items)
+
+            def switch_model(self, path):
+                assert path == "/new/model"
+                self.version += 1
+
+        server = BatchingPolicyServer(
+            FakeWrapper(), make_cfg(port=0), max_batch_size=8,
+            batch_timeout_ms=50, prewarm=False,
+        )
+
+        async def run():
+            server._queue = asyncio.Queue()
+            loop = asyncio.get_running_loop()
+            fa, fs, fb = (loop.create_future() for _ in range(3))
+            await server._queue.put(_Request({"x": 1}, None, fa))
+            await server._queue.put(
+                _Request(None, None, fs, switch_path="/new/model")
+            )
+            await server._queue.put(_Request({"x": 2}, None, fb))
+            worker = asyncio.create_task(server._batch_worker())
+            try:
+                return await asyncio.wait_for(
+                    asyncio.gather(fa, fs, fb), timeout=30
+                )
+            finally:
+                worker.cancel()
+
+        a, s, b = asyncio.run(run())
+        assert a == 0  # before the swap: old model
+        assert s == {"status": "model switched"}
+        assert b == 1  # after the swap: new model
+
 
 @pytest.mark.slow
 class TestServeEvalEndToEnd:
