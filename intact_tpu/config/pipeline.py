@@ -31,6 +31,12 @@ BRIDGE_DATASET_STATS: dict = {
         "std": [0.06059328466653824, 0.09172434359788895, 0.05185756832361221,
                 0.1313914805650711, 0.1698099821805954, 0.573583722114563,
                 0.3517141044139862],
+        "p01": [0.17017078369855881, -0.16965715914964677, -0.054787094071507454,
+                -0.3655692100524902, -0.5435487496852874, -1.3501438736915587,
+                0.052190229296684265],
+        "p99": [0.4527312242984769, 0.23490807592868757, 0.1973453593254087,
+                0.37877989292144754, 0.27723048210143925, 1.8378053522109963,
+                1.0105689764022827],
     },
     "action": {
         "mean": [0.00021758403454441577, 0.00012507825158536434,
@@ -40,6 +46,12 @@ BRIDGE_DATASET_STATS: dict = {
         "std": [0.009632210247218609, 0.013500974513590336, 0.012510341592133045,
                 0.028145477175712585, 0.03028254210948944, 0.07585873454809189,
                 0.4877150356769562],
+        "p01": [-0.028539552688598632, -0.041432044506073, -0.025977383628487588,
+                -0.08020886614918708, -0.09213060349225997, -0.2054861941933632,
+                0.0],
+        "p99": [0.028122276067733765, 0.040630316659808145, 0.03994889184832546,
+                0.08121915772557152, 0.07724379181861864, 0.20214049845933896,
+                1.0],
     },
 }
 
@@ -64,6 +76,10 @@ class TrainDataConfig:
     max_action_future: int = 50
     subsample_length: int = 100  # post-chunk frames kept per traj (train)
     image_dropout_prob: float = 0.0  # whole-camera dropout (non-primary)
+    # explicit statistics for single-dataset mixes (e.g. the shipped
+    # config/dataset/bridge_statistics.json): guarantees training
+    # normalizes with the SAME constants serving denormalizes with
+    dataset_statistics_path: str | None = None
     # tf.data service dispatcher ("grpc://host:port"). When set, the
     # pipeline is REGISTERED with the service and every host consumes from
     # one shared job — the service shards work across its workers and
@@ -89,6 +105,7 @@ class ValDataConfig:
     max_action_future: int | None = None
     subsample_length: int | None = None
     image_dropout_prob: float | None = None
+    dataset_statistics_path: str | None = None
 
 
 @dataclasses.dataclass

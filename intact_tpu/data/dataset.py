@@ -81,6 +81,7 @@ class InterleavedDataset:
                 data_cfg, section, split=split, seed=seed,
                 shard_index=shard_index, num_shards=num_shards,
                 image_size=image_size, rephraser=self.rephraser,
+                normalization_type=normalization_type,
             )
             self._num_transitions = self._ds.num_transitions
         else:

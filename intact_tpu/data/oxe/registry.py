@@ -595,7 +595,15 @@ def _gnm(traj):
         return tf.nest.map_structure(lambda x: x[:0], traj)
 
     traj = tf.cond(tf.shape(traj["action"])[0] > 1, subsampled, empty)
-    return traj, traj["action"], traj["observation"]["state"], None
+    # raw gnm episodes carry position/yaw, not a 'state' key: synthesize
+    # proprio = [x, y, yaw] (reference gnm_dataset_transform concats the same)
+    proprio = tf.concat(
+        [traj["observation"]["position"],
+         traj["observation"]["yaw"][..., None]
+         if traj["observation"]["yaw"].shape.ndims == 1
+         else traj["observation"]["yaw"]], -1,
+    )
+    return traj, traj["action"], proprio, None
 
 
 def _aloha(traj):
@@ -1002,8 +1010,22 @@ def make_oxe_dataset_kwargs_and_weights(
         raise KeyError(
             f"Unknown mix {mix_name!r}; available: {sorted(OXE_NAMED_MIXES)}"
         )
+    # dedup repeated entries (concatenated mixes like rtx_franka list
+    # taco_play/viola/toto twice): keep the FIRST weight, like the
+    # reference's filter_datasets dedup — a duplicate would build two full
+    # pipelines for the same data and double-count its transitions
+    seen: set[str] = set()
     kwargs_list, weights = [], []
     for name, weight in entries:
+        if name in seen:
+            import logging
+
+            logging.getLogger("intact_tpu.oxe").warning(
+                "mix %r lists %s more than once; keeping the first weight",
+                mix_name, name,
+            )
+            continue
+        seen.add(name)
         kwargs_list.append(
             make_oxe_dataset_kwargs(name, data_dir, load_camera_views, load_proprio)
         )

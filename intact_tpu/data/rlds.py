@@ -378,14 +378,46 @@ def make_interleaved_dataset(
     seed: int = 0,
     shard_index: int = 0,
     num_shards: int = 1,
+    normalization_type: str = "normal",
+    dataset_statistics=None,
+    split: str | None = None,
+    skip_unlabeled: bool | None = None,
+    num_parallel_calls=AUTOTUNE,
+    num_parallel_reads=AUTOTUNE,
 ):
-    """-> (tf.data.Dataset of frames/batches, total_transitions, stats dict)."""
+    """-> (tf.data.Dataset of frames/batches, total_transitions, stats dict).
+
+    normalization_type applies to every dataset in the mix (the serving
+    adapters must invert it with the same scheme). dataset_statistics (path
+    or dict) is honored only for SINGLE-dataset mixes — per-dataset stats
+    in a multi-dataset mix must come from the data. skip_unlabeled only
+    tightens datasets the registry marked as language-labeled (forcing the
+    filter onto a blank-language dataset would drop everything)."""
     sample_weights = list(sample_weights or [1.0] * len(dataset_kwargs_list))
+
+    if dataset_statistics is not None and len(dataset_kwargs_list) > 1:
+        import logging
+
+        logging.getLogger("intact_tpu.rlds").warning(
+            "explicit dataset_statistics ignored for a %d-dataset mix "
+            "(per-dataset statistics are computed from the data)",
+            len(dataset_kwargs_list),
+        )
+        dataset_statistics = None
 
     datasets, sizes, all_stats = [], [], {}
     for kwargs in dataset_kwargs_list:
         kw = dict(kwargs)
         load_proprio = kw.pop("load_proprio", True)
+        kw.setdefault("normalization_type", normalization_type)
+        kw.setdefault("num_parallel_calls", num_parallel_calls)
+        kw.setdefault("num_parallel_reads", num_parallel_reads)
+        if split is not None:
+            kw.setdefault("split", split)
+        if skip_unlabeled is not None and kw.get("skip_unlabeled", True):
+            kw["skip_unlabeled"] = skip_unlabeled
+        if dataset_statistics is not None:
+            kw.setdefault("dataset_statistics", dataset_statistics)
         ds, statistics = make_dataset_from_rlds(
             train=train, shard_index=shard_index, num_shards=num_shards, **kw
         )
@@ -400,15 +432,20 @@ def make_interleaved_dataset(
             ds = ds.map(_drop_proprio, num_parallel_calls=AUTOTUNE)
         all_stats[kwargs["name"]] = statistics
         sizes.append(statistics["num_transitions"])
+        # repeat BEFORE the trajectory transforms: their stateless seeds key
+        # on the enumerate index, which keeps increasing across epochs here
+        # — repeating after would re-enumerate from 0 every epoch and replay
+        # identical goal relabels / paraphrases / subsample windows forever
         ds = apply_trajectory_transforms(
-            ds, train=train, window_size=window_size, action_horizon=action_horizon,
+            ds.repeat(), train=train, window_size=window_size,
+            action_horizon=action_horizon,
             max_action_future=max_action_future,
             subsample_length=subsample_length,
             goal_relabeling_strategy=goal_relabeling_strategy,
             rephrase_table=rephrase_table, rephrase_prob=rephrase_prob,
             seed=seed,
         )
-        datasets.append(flatten_to_frames(ds.repeat()))
+        datasets.append(flatten_to_frames(ds))
 
     # heterogeneous mixes (e.g. oxe_flex_act_soup: 7-dof EEF + 14-dof
     # bimanual + 2-dof nav; per-robot proprio widths) must agree on element
@@ -501,7 +538,8 @@ def _options() -> tf.data.Options:
 class RLDSInterleavedBackend:
     def __init__(self, data_cfg, section, split: str, seed: int,
                  shard_index: int = 0, num_shards: int = 1,
-                 image_size: int = 224, rephraser=None):
+                 image_size: int = 224, rephraser=None,
+                 normalization_type: str = "normal"):
         from intact_tpu.data.oxe import make_oxe_dataset_kwargs_and_weights
 
         kwargs_list, weights = make_oxe_dataset_kwargs_and_weights(
@@ -556,6 +594,25 @@ class RLDSInterleavedBackend:
             seed=seed,
             shard_index=shard_index,
             num_shards=num_shards,
+            # in-graph normalization must use the scheme the serving
+            # adapters invert (EnvConfig.action_normalization_type); the
+            # explicit stats file guarantees identical constants end to end
+            normalization_type=normalization_type,
+            dataset_statistics=getattr(section, "dataset_statistics_path", None),
+            # "train"/"val" are role markers (the 95/5 split is derived);
+            # anything else (e.g. "train[:50%]") is an explicit tfds split
+            split=(
+                section.split
+                if getattr(section, "split", None) not in (None, "train", "val")
+                else None
+            ),
+            skip_unlabeled=getattr(section, "skip_unlabeled", None),
+            num_parallel_calls=(
+                getattr(section, "num_parallel_calls", None) or AUTOTUNE
+            ),
+            num_parallel_reads=(
+                getattr(section, "traj_read_threads", None) or AUTOTUNE
+            ),
         )
 
     def batches(self, batch_size: int):

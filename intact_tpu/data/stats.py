@@ -50,7 +50,9 @@ def _field_stats(x: np.ndarray) -> dict:
 
 
 def statistics_cache_path(unique_hash_inputs: list[str], cache_dir: str | None = None) -> Path:
-    h = hashlib.sha256(("".join(unique_hash_inputs)).encode()).hexdigest()[:16]
+    # NUL-joined so boundary shifts between inputs can't collide to the
+    # same digest (['foo', 'bar'] vs ['foob', 'ar'])
+    h = hashlib.sha256(("\x00".join(unique_hash_inputs)).encode()).hexdigest()[:16]
     base = Path(cache_dir or os.environ.get(
         "INTACT_STATS_CACHE", os.path.expanduser("~/.cache/intact_tpu")))
     return base / f"dataset_statistics_{h}.json"

@@ -91,23 +91,7 @@ class SyntheticBridgeDataset:
 
     def frames(self):
         """Infinite stream of per-timestep frames across episodes."""
-        ep = 0
-        while True:
-            traj = self.episode(ep % self.num_episodes)
-            T = len(traj["action"])
-            lang = traj["task"]["language_instruction"]
-            for t in range(T):
-                yield {
-                    "observation": {
-                        "image_primary": traj["observation"]["image_primary"][t],
-                        "proprio": traj["observation"]["proprio"][t],
-                        "timestep_pad_mask": traj["observation"]["timestep_pad_mask"][t],
-                    },
-                    "task": {"language_instruction": lang[t]},
-                    "action": traj["action"][t],
-                    "action_pad_mask": traj["action_pad_mask"][t],
-                }
-            ep += 1
+        return self._sharded_frames(0, 1)
 
     def batches(self, batch_size: int, shard_index: int = 0, num_shards: int = 1):
         """Infinite batched stream with per-host sharding (each shard sees a

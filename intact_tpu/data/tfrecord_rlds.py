@@ -32,7 +32,10 @@ import numpy as np
 import tensorflow as tf
 
 _DTYPES = {
-    "uint8": tf.uint8,
+    # tf.io.parse_single_example only supports float32/int64/string wire
+    # types: uint8 Tensor leaves travel as int64 lists and are cast back
+    # after parsing (see _CAST_BACK)
+    "uint8": tf.int64,
     "int32": tf.int64,  # int features are serialized as int64 lists
     "int64": tf.int64,
     "float32": tf.float32,
@@ -40,6 +43,9 @@ _DTYPES = {
     "string": tf.string,
     "bool": tf.int64,
 }
+
+# declared dtype -> post-parse cast (wire type in _DTYPES is coarser)
+_CAST_BACK = {"uint8": tf.uint8}
 
 
 def _dim(d) -> int:
@@ -95,14 +101,20 @@ def _flatten_features(node: dict, prefix: str = "") -> dict[str, dict]:
             out[pfx] = {"dtype": tf.string, "shape": [], "encoded_image": False}
         elif cls.endswith("Scalar"):
             info = n.get("tensor", content)
-            dtype = _DTYPES[info.get("dtype", "float32")]
-            out[pfx] = {"dtype": dtype, "shape": [], "encoded_image": False}
+            raw = info.get("dtype", "float32")
+            out[pfx] = {
+                "dtype": _DTYPES[raw], "shape": [], "encoded_image": False,
+                "cast": _CAST_BACK.get(raw),
+            }
         else:  # Tensor
             info = n.get("tensor", content)
             dims = info.get("shape", {}).get("dimensions", [])
             shape = [_dim(d) for d in dims]
-            dtype = _DTYPES[info.get("dtype", "float32")]
-            out[pfx] = {"dtype": dtype, "shape": shape, "encoded_image": False}
+            raw = info.get("dtype", "float32")
+            out[pfx] = {
+                "dtype": _DTYPES[raw], "shape": shape, "encoded_image": False,
+                "cast": _CAST_BACK.get(raw),
+            }
 
     walk(node, prefix)
     return out
@@ -122,6 +134,17 @@ def load_split_info(ds_dir: Path) -> dict[str, int]:
         lengths = [int(x) for x in split.get("shardLengths", [])]
         out[split["name"]] = sum(lengths)
     return out
+
+
+def load_shard_lengths(ds_dir: Path, split: str) -> list[int]:
+    """Per-shard episode counts for a split (dataset_info.json
+    shardLengths), [] when absent."""
+    with open(ds_dir / "dataset_info.json") as f:
+        info = json.load(f)
+    for s in info.get("splits", []):
+        if s.get("name") == split:
+            return [int(x) for x in s.get("shardLengths", [])]
+    return []
 
 
 def _resolve_split(split: str | None, available: dict[str, int]) -> tuple[str, float, float]:
@@ -168,27 +191,55 @@ def read_rlds_dataset(
     if not files:
         raise FileNotFoundError(f"no {base_split} tfrecord shards in {ds_dir}")
     sliced = lo > 0.0 or hi < 1.0
-    files_ds = tf.data.Dataset.from_tensor_slices(files)
-    # %-sliced reads keep deterministic file order so train/val partitions
-    # stay disjoint across independent readers; full reads may shuffle
-    if shuffle_files and not sliced:
-        files_ds = files_ds.shuffle(len(files), seed=seed)
-    ds = tf.data.TFRecordDataset(
-        files_ds,
-        num_parallel_reads=1 if sliced else num_parallel_reads,
-    )
+    shard_lengths = load_shard_lengths(ds_dir, base_split) if sliced else []
+    total = splits.get(base_split, 0)
+    lo_idx = int(round(lo * total))
+    hi_idx = int(round(hi * total))
 
-    if lo > 0.0 or hi < 1.0:
-        # deterministic per-episode %-slice against the split's episode
-        # count from dataset_info.json (tfds slicing semantics)
-        total = splits.get(base_split, 0)
-        lo_idx = int(round(lo * total))
-        hi_idx = int(round(hi * total))
+    if sliced and len(shard_lengths) == len(files) and sum(shard_lengths) == total:
+        # per-shard skip/take from shardLengths: each shard knows exactly
+        # which of its episodes fall inside the %-slice, so parallel reads
+        # AND file shuffling stay legal (the fallback below reads every
+        # record single-threaded through an enumerate/filter — the default
+        # training split 'train[:95%]' would be input-bound on big data)
+        starts = [0]
+        for n in shard_lengths[:-1]:
+            starts.append(starts[-1] + n)
+        entries = []
+        for f, s, n in zip(files, starts, shard_lengths):
+            a = max(0, lo_idx - s)
+            b = min(n, hi_idx - s)
+            if b > a:
+                entries.append((f, a, b - a))
+        if shuffle_files:
+            rng = np.random.default_rng(seed)
+            rng.shuffle(entries)
+        ds = tf.data.Dataset.from_tensor_slices((
+            tf.constant([e[0] for e in entries], tf.string),
+            tf.constant([e[1] for e in entries], tf.int64),
+            tf.constant([e[2] for e in entries], tf.int64),
+        )).interleave(
+            lambda f, skip, take:
+                tf.data.TFRecordDataset(f).skip(skip).take(take),
+            cycle_length=num_parallel_reads,
+            num_parallel_calls=tf.data.AUTOTUNE,
+        )
+    else:
+        files_ds = tf.data.Dataset.from_tensor_slices(files)
+        # without per-shard lengths, a %-sliced read keeps deterministic
+        # file order + a single reader so the global enumerate below is
+        # stable; full reads may shuffle and parallelize freely
+        if shuffle_files and not sliced:
+            files_ds = files_ds.shuffle(len(files), seed=seed)
+        ds = tf.data.TFRecordDataset(
+            files_ds,
+            num_parallel_reads=1 if sliced else num_parallel_reads,
+        )
+        if sliced:
+            def in_slice(i, _):
+                return (i >= lo_idx) & (i < hi_idx)
 
-        def in_slice(i, _):
-            return (i >= lo_idx) & (i < hi_idx)
-
-        ds = ds.enumerate().filter(in_slice).map(lambda _, x: x)
+            ds = ds.enumerate().filter(in_slice).map(lambda _, x: x)
 
     parse_spec = {
         key: tf.io.VarLenFeature(info["dtype"]) for key, info in spec.items()
@@ -207,6 +258,8 @@ def read_rlds_dataset(
             elif shape and all(d > 0 for d in shape):
                 val = tf.reshape(val, [-1] + list(shape))
             # scalars and unknown-shape tensors stay [T(*flat)]
+            if info.get("cast") is not None:
+                val = tf.cast(val, info["cast"])
             _assign_nested(out, key.split("/"), val)
         return _strip_steps(out)
 
@@ -276,10 +329,19 @@ def write_rlds_dataset(
                       "featuresDict": {"features": {}}}
     steps_features: dict = {}
     first = dict(flatten({"steps": first_episode}))
+    from intact_tpu.data.preprocess import _is_image_key
+
+    def _camera_key(k: str) -> bool:
+        # explicit image_keys plus the registry-wide camera-name patterns
+        # (rgb_static, cam_high, hand_image, ...) — a camera missed here
+        # would serialize as int64 lists, a ~50x size blowup the reader
+        # then cannot even parse
+        return k in image_keys or _is_image_key(k)
+
     for key, arr in first.items():
         sub = key.split("/")[1:]  # strip leading "steps"
         leaf = "/".join(sub)
-        is_img = sub[-1] in image_keys or sub[-1].startswith("image")
+        is_img = _camera_key(sub[-1])
         if is_img and arr.dtype == np.uint8:
             node = {"pythonClassName": "tensorflow_datasets.core.features.image_feature.Image",
                     "image": {"shape": {"dimensions": [
@@ -329,7 +391,7 @@ def write_rlds_dataset(
         feats = {}
         for key, arr in flatten({"steps": ep}):
             sub = key.split("/")[1:]
-            is_img = sub[-1] in image_keys or sub[-1].startswith("image")
+            is_img = _camera_key(sub[-1])
             if is_img and arr.dtype == np.uint8 and arr.ndim >= 3:
                 vals = [encode_img(frame).numpy() for frame in arr]
                 feats[key] = tf.train.Feature(

@@ -338,17 +338,25 @@ class Trainer:
                 f"{jax.process_count()} processes"
             )
         self.host_batch_size = self.micro_batch_size // jax.process_count()
+        # train-time normalization must use the scheme the serving adapters
+        # INVERT (EnvConfig.action_normalization_type, default "bound" =
+        # p01/p99 -> [-1, 1]); adapters say "gaussian" where the data layer
+        # says "normal"
+        norm_type = (
+            "normal" if cfg.env.action_normalization_type == "gaussian"
+            else "bound"
+        )
         self.train_data = InterleavedDataset(
             cfg.data, self.host_batch_size, split="train",
             shard_index=jax.process_index(), num_shards=jax.process_count(),
-            stats=norm_stats, seed=cfg.seed,
+            stats=norm_stats, normalization_type=norm_type, seed=cfg.seed,
             image_size=self.model_cfg.vision.image_size,
             task_paraphrase=cfg.task_paraphrase,
         )
         self.val_data = InterleavedDataset(
             cfg.data, self.host_batch_size, split="val",
             shard_index=jax.process_index(), num_shards=jax.process_count(),
-            stats=norm_stats, seed=cfg.seed + 1,
+            stats=norm_stats, normalization_type=norm_type, seed=cfg.seed + 1,
             image_size=self.model_cfg.vision.image_size,
         )
 

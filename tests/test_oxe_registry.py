@@ -262,3 +262,22 @@ class TestHeterogeneousMixEndToEnd:
         assert len(stats["toy_eef"]["action"]["mean"]) == 7
         # at least some rows must carry padded action dims
         assert (~batch["action_pad_mask"]).any() or batch["action_pad_mask"].all()
+
+
+class TestMixDedup:
+    def test_concatenated_mix_drops_duplicates(self):
+        """rtx_franka = RT_X_MIX + OXE_FRANKA_MIX lists taco_play / viola /
+        toto / berkeley_cable_routing in both halves; the kwargs factory
+        must keep ONE pipeline per dataset (first weight wins) so no
+        dataset is double-built or double-counted."""
+        from intact_tpu.data.oxe import make_oxe_dataset_kwargs_and_weights
+
+        kwargs, weights = make_oxe_dataset_kwargs_and_weights(
+            "rtx_franka", "/data"
+        )
+        names = [k["name"] for k in kwargs]
+        assert len(names) == len(set(names)), names
+        assert len(weights) == len(names)
+        # the duplicated franka datasets survive exactly once
+        for dup in ("taco_play", "viola", "toto", "berkeley_cable_routing"):
+            assert names.count(dup) == 1

@@ -70,10 +70,55 @@ class TestNativeReader:
             root, "bridge_dataset", split="train[50%:]", shuffle_files=False
         ).as_numpy_iterator())
         assert len(tr) + len(va) == 4 and len(tr) > 0 and len(va) > 0
+        # slices are disjoint AND complete by episode identity (lengths are
+        # unique in the fixture), even with shuffled parallel shard reads
+        tr_s = list(tfrecord_rlds.read_rlds_dataset(
+            root, "bridge_dataset", split="train[:50%]",
+            shuffle_files=True, seed=3,
+        ).as_numpy_iterator())
+        va_s = list(tfrecord_rlds.read_rlds_dataset(
+            root, "bridge_dataset", split="train[50%:]",
+            shuffle_files=True, seed=4,
+        ).as_numpy_iterator())
+        ids = sorted(t["action"].shape[0] for t in tr_s + va_s)
+        assert ids == [6, 7, 8, 10]
 
     def test_missing_dataset_raises(self, tmp_path):
         with pytest.raises(FileNotFoundError):
             tfrecord_rlds.read_rlds_dataset(tmp_path, "nope")
+
+    def test_registry_named_cameras_and_uint8_tensors(self, tmp_path):
+        """Cameras with OXE registry names that don't start with 'image'
+        (rgb_static, cam_high) must be ENCODED by the writer (not exploded
+        into int64 lists), and a raw non-image uint8 tensor must round-trip
+        through the int64 wire type with its dtype restored."""
+        rng = np.random.default_rng(2)
+        T = 5
+        episodes = [{
+            "observation": {
+                "rgb_static": rng.integers(0, 255, (T, 16, 16, 3), dtype=np.uint8),
+                "cam_high": rng.integers(0, 255, (T, 16, 16, 3), dtype=np.uint8),
+                "seg_mask": rng.integers(0, 9, (T, 4)).astype(np.uint8),
+                "state": rng.normal(size=(T, 7)).astype(np.float32),
+            },
+            "action": rng.normal(size=(T, 7)).astype(np.float32),
+            "language_instruction": np.array(["sweep"] * T),
+        }]
+        tfrecord_rlds.write_rlds_dataset(tmp_path, "taco_play", episodes)
+        got = next(iter(tfrecord_rlds.read_rlds_dataset(
+            tmp_path, "taco_play", split="train", shuffle_files=False
+        ).as_numpy_iterator()))
+        for cam in ("rgb_static", "cam_high"):
+            # one encoded byte string per step, not a flat int64 tensor
+            assert got["observation"][cam].dtype.kind in ("S", "O")
+            dec = tf.io.decode_png(got["observation"][cam][0]).numpy()
+            np.testing.assert_array_equal(
+                dec, episodes[0]["observation"][cam][0]
+            )
+        assert got["observation"]["seg_mask"].dtype == np.uint8
+        np.testing.assert_array_equal(
+            got["observation"]["seg_mask"], episodes[0]["observation"]["seg_mask"]
+        )
 
 
 class TestFullPipelineOverTfds:
@@ -105,6 +150,48 @@ class TestFullPipelineOverTfds:
         assert batch["observation"]["proprio"].shape == (3, 1, 7)
         assert b"carrot" in batch["task"]["language_instruction"][0]
         assert stats["bridge_dataset"]["num_transitions"] > 0
+
+    def test_bound_normalization_with_explicit_stats(self, tfds_dir, tmp_path):
+        """normalization_type='bound' + an explicit statistics file must
+        normalize actions with EXACTLY those constants (the scheme and
+        numbers the serving adapters invert) — the trainer wires
+        env.action_normalization_type through this path."""
+        import json
+
+        from intact_tpu.data.oxe import make_oxe_dataset_kwargs_and_weights
+        from intact_tpu.data.rlds import make_interleaved_dataset
+
+        root, _ = tfds_dir
+        d = 7
+        stats = {
+            "action": {
+                "mean": [0.0] * d, "std": [1.0] * d,
+                "p01": [-2.0] * d, "p99": [2.0] * d,
+            },
+            "proprio": {
+                "mean": [0.0] * d, "std": [1.0] * d,
+                "p01": [-3.0] * d, "p99": [3.0] * d,
+            },
+            "num_transitions": 31, "num_trajectories": 4,
+        }
+        stats_path = tmp_path / "stats.json"
+        stats_path.write_text(json.dumps(stats))
+        kwargs_list, weights = make_oxe_dataset_kwargs_and_weights("bridge", str(root))
+        ds, total, all_stats = make_interleaved_dataset(
+            kwargs_list, weights, train=True, shuffle_buffer_size=4,
+            window_size=1, action_horizon=1, resize_size=(24, 24),
+            batch_size=4, seed=0,
+            normalization_type="bound",
+            dataset_statistics=str(stats_path),
+        )
+        assert total == 31  # explicit stats drive the epoch accounting
+        batch = next(iter(ds.as_numpy_iterator()))
+        a = batch["action"]
+        # bound scheme: clipped to [-1, 1], with interior values actually
+        # rescaled (not all saturated) — the random fixture's standardized
+        # deltas straddle the toy +-2 percentile band
+        assert np.all(a >= -1.0 - 1e-5) and np.all(a <= 1.0 + 1e-5)
+        assert (np.abs(a[..., :6]) < 0.99).any()
 
 
 class TestRlds2Lerobot:
