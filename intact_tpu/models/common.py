@@ -134,7 +134,12 @@ def quantize_dense(p: Params) -> Params:
 # the default int8 coverage: every kernel under a "blocks" subtree plus the
 # multimodal projector — heads/embeddings/norms stay fp. Shared with the
 # bench's streamed init so benched int8 matches production int8.
-QUANTIZE_DEFAULT_PATTERN = r".*(blocks/(attn|mlp)/[a-z0-9_]+|img_proj)$"
+# transformer-block matmuls: scanned `blocks/` stacks AND the mvla expert's
+# scanned self/cross pair stacks (`expert/pairs/{self,cross}/...`) — the
+# Euler-loop hot path; excluding pairs would silently serve the expert fp
+QUANTIZE_DEFAULT_PATTERN = (
+    r".*((blocks|pairs/(self|cross))/(attn|mlp)/[a-z0-9_]+|img_proj)$"
+)
 
 
 def quantize_params(params: Params, path_filter=None) -> Params:

@@ -124,7 +124,16 @@ def ddim_sample(schedule: DiffusionSchedule, eps_fn, key, shape, cond=None,
         a_t = acp[t_int]
         a_prev = jnp.where(t_prev >= 0, acp[jnp.maximum(t_prev, 0)], 1.0)
         x0 = (x - jnp.sqrt(1 - a_t) * eps) / jnp.sqrt(a_t)
-        x = jnp.sqrt(a_prev) * x0 + jnp.sqrt(1 - a_prev) * eps
+        # eta interpolates deterministic DDIM (0) -> DDPM-variance (1):
+        # sigma_t = eta * sqrt((1-a_prev)/(1-a_t)) * sqrt(1 - a_t/a_prev)
+        sigma = eta * jnp.sqrt(
+            (1.0 - a_prev) / (1.0 - a_t) * (1.0 - a_t / a_prev)
+        )
+        dir_x = jnp.sqrt(jnp.maximum(1.0 - a_prev - sigma**2, 0.0)) * eps
+        noise = jax.random.normal(jax.random.fold_in(key, idx), shape, jnp.float32)
+        # the final step (t_prev < 0) is always noise-free
+        sigma = jnp.where(t_prev >= 0, sigma, 0.0)
+        x = jnp.sqrt(a_prev) * x0 + dir_x + sigma * noise
         return x, None
 
     x, _ = jax.lax.scan(step, x, jnp.arange(ts.shape[0]))

@@ -195,9 +195,17 @@ def compute_loss(params, key, batch: dict, cfg: DreamVLAConfig,
     gt = batch["actions"][:, : cfg.horizon, : cfg.action_dim].astype(jnp.float32)
     action_loss = jnp.mean(jnp.square(actions_pred - gt))
 
-    # world loss: prediction at frame t targets the (stop-grad) latents of t+1
-    target = jax.lax.stop_gradient(lat[:, 1:].astype(jnp.float32))
-    world_loss = jnp.mean(jnp.square(pred_next[:, :-1].astype(jnp.float32) - target))
+    # world loss: prediction at frame t targets the (stop-grad) latents of
+    # t+1. T is static, so a single-frame batch (nothing to predict) drops
+    # the term in Python — jnp.mean over the empty [B, 0, ...] slice would
+    # be NaN and poison every gradient
+    if lat.shape[1] > 1:
+        target = jax.lax.stop_gradient(lat[:, 1:].astype(jnp.float32))
+        world_loss = jnp.mean(
+            jnp.square(pred_next[:, :-1].astype(jnp.float32) - target)
+        )
+    else:
+        world_loss = jnp.zeros((), jnp.float32)
 
     loss = action_loss + cfg.world_loss_weight * world_loss
     metrics = {"action_loss": action_loss, "world_loss": world_loss}

@@ -164,6 +164,18 @@ def build_prompt(tokenizer, tasks: list[str], cfg: MagmaConfig):
         ids = ids[:n_post]
         tokens[i, n_pre + n_img:n_pre + n_img + len(ids)] = ids
         masks[i, n_pre + n_img:n_pre + n_img + len(ids)] = True
+    # a TEXT token equal to image_token_id would make embed_prompt splice a
+    # vision embedding into the instruction (possible with hash-fallback
+    # tokenizers whose id range overlaps the placeholder); remap rather
+    # than corrupt the prompt silently
+    collisions = tokens == cfg.image_token_id
+    collisions[:, n_pre:n_pre + n_img] = False  # the real placeholders
+    if collisions.any():
+        logging.getLogger("intact_tpu.magma").warning(
+            "%d text token(s) collided with image_token_id=%d; remapped",
+            int(collisions.sum()), cfg.image_token_id,
+        )
+        tokens[collisions] = max(cfg.image_token_id - 1, 0)
     return tokens, masks
 
 

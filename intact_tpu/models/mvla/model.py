@@ -132,10 +132,12 @@ def predict_velocity(params, prompt, state, x_t, time, cfg: MVLAConfig,
                      prompt_kv=None) -> jnp.ndarray:
     suf_embs, suf_pad, suf_att = pi0.embed_suffix(params, state, x_t, time, cfg, policy)
     if cfg.alternate_pattern == "joint":
-        # MMMVLA variant: one stream over [prompt | suffix]
+        # MMMVLA variant: one stream over [prompt | suffix]; with prompt_kv
+        # (sampling) only the suffix runs through the blocks
         out = expert_lib.forward_joint(
             params["expert"], suf_embs, prompt, suf_att, cfg.expert,
             policy=policy, attention_impl=cfg.attention_impl,
+            prompt_kv=prompt_kv,
         )
     else:
         mask, positions = _suffix_masks(suf_pad, suf_att)
@@ -226,10 +228,16 @@ def sample_actions(params, key, images, img_masks, lang_tokens, lang_masks, stat
             (b, cfg.chunk_size, cfg.max_action_dim), cond,
             num_steps=cfg.num_steps,
         )
-    prompt_kv = (
-        None if cfg.alternate_pattern == "joint"
-        else expert_lib.prefill_prompt_kv(params["expert"], prompt, cfg.expert, policy)
-    )
+    # both patterns cache the prompt's K/V once: the prompt block never
+    # attends the suffix, so its K/V are identical across all Euler steps
+    if cfg.alternate_pattern == "joint":
+        prompt_kv = expert_lib.prefill_joint_prompt_kv(
+            params["expert"], prompt, cfg.expert, policy, cfg.attention_impl
+        )
+    else:
+        prompt_kv = expert_lib.prefill_prompt_kv(
+            params["expert"], prompt, cfg.expert, policy
+        )
 
     dt = -1.0 / cfg.num_steps
 

@@ -148,17 +148,28 @@ def encode(params, images, img_masks, lang_tokens, lang_masks, cfg: OctoConfig,
         policy.cast(params["readout_embed"]), (b, cfg.history, cfg.width)
     )
 
-    # interleave [obs_t, readout_t] per frame
-    frames = jnp.concatenate([obs, readout[:, :, None, :]], axis=2)  # [B,T,P+1,D]
+    # per-frame token group: [obs patches (, proprio), readout]
+    per_frame = n_patch
+    groups = [obs]
+    if cfg.use_proprio:
+        if proprio is None:
+            raise ValueError("use_proprio=True but encode() got proprio=None")
+        pp = policy.cast(jnp.asarray(proprio))
+        if pp.ndim == 2:  # current state only -> replicate across history
+            pp = jnp.broadcast_to(pp[:, None, :], (b, t, pp.shape[-1]))
+        groups.append(cm.dense(params["proprio_proj"], pp, policy)[:, :, None, :])
+        per_frame += 1
+    groups.append(readout[:, :, None, :])
+    frames = jnp.concatenate(groups, axis=2)  # [B, T, per_frame+1, D]
     tokens = jnp.concatenate(
-        [lang, frames.reshape(b, t * (n_patch + 1), cfg.width)], axis=1
+        [lang, frames.reshape(b, t * (per_frame + 1), cfg.width)], axis=1
     )
 
-    template = jnp.asarray(_mask_template(lt, n_patch, cfg.history))
+    template = jnp.asarray(_mask_template(lt, per_frame, cfg.history))
     # padding: lang mask + per-frame obs mask (readout of padded frames
     # still computes but attends only task+itself padding-wise; it is
     # excluded by pad keys below)
-    frame_pad = jnp.repeat(img_masks.astype(bool), n_patch + 1, axis=1)
+    frame_pad = jnp.repeat(img_masks.astype(bool), per_frame + 1, axis=1)
     pad = jnp.concatenate([lang_masks.astype(bool), frame_pad], axis=1)  # [B, N]
     mask = template[None] & pad[:, None, :]
 
@@ -179,7 +190,7 @@ def encode(params, images, img_masks, lang_tokens, lang_masks, cfg: OctoConfig,
     tokens, _ = jax.lax.scan(body, tokens, params["blocks"])
     tokens = cm.layer_norm(params["final_ln"], tokens, cfg.norm_eps)
 
-    readout_idx = lt + jnp.arange(cfg.history) * (n_patch + 1) + n_patch
+    readout_idx = lt + jnp.arange(cfg.history) * (per_frame + 1) + per_frame
     return tokens[:, readout_idx]  # [B, history, D]
 
 
@@ -208,6 +219,7 @@ def compute_loss(params, key, batch: dict, cfg: OctoConfig,
     readouts = encode(
         params, batch["images"], batch["img_masks"], batch["lang_tokens"],
         batch["lang_masks"], cfg, policy,
+        proprio=batch.get("state") if cfg.use_proprio else None,
     )
     cond = readouts[:, -1]
     schedule = diff.make_schedule(cfg.diffusion_steps)
@@ -223,7 +235,10 @@ def compute_loss(params, key, batch: dict, cfg: OctoConfig,
 def sample_actions(params, key, images, img_masks, lang_tokens, lang_masks, state,
                    cfg: OctoConfig, policy: DtypePolicy = DEFAULT_POLICY,
                    noise=None):
-    readouts = encode(params, images, img_masks, lang_tokens, lang_masks, cfg, policy)
+    readouts = encode(
+        params, images, img_masks, lang_tokens, lang_masks, cfg, policy,
+        proprio=state if cfg.use_proprio else None,
+    )
     cond = readouts[:, -1]
     schedule = diff.make_schedule(cfg.diffusion_steps)
     shape = (images.shape[0], cfg.horizon, cfg.action_dim)

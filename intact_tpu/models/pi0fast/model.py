@@ -104,7 +104,9 @@ def compute_loss(params, key, batch: dict, cfg: Pi0FASTConfig,
         targets = tokenize_actions(batch["actions"], cfg)  # [B, T]
         token_keep = None
     b, t = targets.shape
-    scale = jnp.asarray(cfg.vlm.width**0.5)
+    # cast to the compute dtype: a float32 scalar would promote the bf16
+    # embeddings (and the whole concatenated sequence) to f32
+    scale = jnp.asarray(cfg.vlm.width**0.5, policy.compute_dtype)
 
     pre_embs, pre_pad, pre_att = embed_prefix(
         params, batch["images"], batch["img_masks"], batch["lang_tokens"],
@@ -169,7 +171,9 @@ def sample_actions(params, key, images, img_masks, lang_tokens, lang_masks, stat
     b, p_len = pre_pad.shape
     t = cfg.n_action_tokens
     total = p_len + t
-    scale = jnp.asarray(cfg.vlm.width**0.5)
+    # cast to the compute dtype: a float32 scalar would promote the bf16
+    # embeddings (and the whole concatenated sequence) to f32
+    scale = jnp.asarray(cfg.vlm.width**0.5, policy.compute_dtype)
 
     pre_mask = make_att_2d_masks(pre_pad, pre_att)
     pre_pos = jnp.cumsum(pre_pad.astype(jnp.int32), axis=1) - 1

@@ -171,6 +171,19 @@ def encode(
 # HF torch checkpoint -> params
 # ---------------------------------------------------------------------------
 
+def _embed_weight(sd: dict, prefix: str):
+    """Shared-or-scoped embedding weight; raises naming BOTH candidate keys
+    (sd.get chaining would hand np.asarray(None) to the caller and fail
+    later as an opaque dtype error)."""
+    for key in ("shared.weight", prefix + ".embed_tokens.weight"):
+        if key in sd:
+            return sd[key]
+    raise KeyError(
+        f"T5 state dict has neither 'shared.weight' nor "
+        f"'{prefix}.embed_tokens.weight'"
+    )
+
+
 def from_hf_state_dict(sd: dict, cfg: T5Config, prefix: str = "encoder") -> cm.Params:
     """Flat torch state dict (T5EncoderModel naming) -> param tree.
     Linear weights [out, in] transpose to kernels [in, out]."""
@@ -183,8 +196,7 @@ def from_hf_state_dict(sd: dict, cfg: T5Config, prefix: str = "encoder") -> cm.P
 
     f = prefix + ".block.{i}.layer."
     return {
-        "embed": {"embedding": np.asarray(sd.get("shared.weight",
-                                                 sd.get(prefix + ".embed_tokens.weight")))},
+        "embed": {"embedding": np.asarray(_embed_weight(sd, prefix))},
         "rel_bias": np.asarray(
             sd[prefix + ".block.0.layer.0.SelfAttention.relative_attention_bias.weight"]
         ),

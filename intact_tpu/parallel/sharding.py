@@ -35,6 +35,12 @@ DEFAULT_RULES: list[tuple[str, P]] = [
     (r".*blocks/mlp/(gate|up|fc1)/kernel(_q)?$", P(None, "fsdp", "tensor")),
     (r".*blocks/mlp/(down|fc2)/kernel(_q)?$", P(None, "tensor", "fsdp")),
     (r".*blocks/mlp/fc1/bias$", P(None, "tensor")),
+    # mvla expert self/cross pair stacks: same layout as blocks (leading
+    # pair axis); previously fell to the replicated catch-all
+    (r".*pairs/(self|cross)/attn/[qkv]/kernel(_q)?$", P(None, "fsdp", "tensor")),
+    (r".*pairs/(self|cross)/attn/o/kernel(_q)?$", P(None, "tensor", "fsdp")),
+    (r".*pairs/(self|cross)/mlp/(gate|up)/kernel(_q)?$", P(None, "fsdp", "tensor")),
+    (r".*pairs/(self|cross)/mlp/down/kernel(_q)?$", P(None, "tensor", "fsdp")),
     # Glue projections (img_proj / time fusion / action heads): REPLICATED
     # on purpose. They are a few MB each, and tensor/fsdp-sharding their
     # contraction or output dims forces the SPMD partitioner to reshard the

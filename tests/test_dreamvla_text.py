@@ -29,6 +29,21 @@ class TestDreamVLA:
         tot = sum(float(jnp.abs(l).sum()) for l in jax.tree.leaves(g))
         assert np.isfinite(tot) and tot > 0
 
+    def test_single_frame_batch_has_finite_loss(self):
+        """T == 1 leaves nothing for the next-frame world loss; the term
+        must drop to zero instead of jnp.mean over an empty slice (NaN)."""
+        cfg = dreamvla.DreamVLAConfig.tiny()
+        params = dreamvla.init(jax.random.key(0), cfg)
+        batch = {
+            "images": jax.random.uniform(
+                jax.random.key(1), (2, 1, cfg.vision.image_size,
+                                    cfg.vision.image_size, 3), minval=-1, maxval=1),
+            "actions": jax.random.normal(jax.random.key(2), (2, cfg.horizon, cfg.action_dim)),
+        }
+        loss, aux = dreamvla.compute_loss(params, jax.random.key(3), batch, cfg, FP32)
+        assert jnp.isfinite(loss)
+        assert float(aux["world_loss"]) == 0.0
+
     def test_dream_heads_gated_on_targets(self):
         """dynamic/depth/semantic losses fire only when their targets ride
         in the batch, and their gradients reach the matching heads."""

@@ -159,6 +159,39 @@ class TestMMMVLA:
         assert acts.shape == (2, cfg.chunk_size, cfg.max_action_dim)
         assert jnp.isfinite(acts).all()
 
+    def test_joint_prompt_kv_cache_matches_one_pass(self, batch):
+        """The sampling loop caches the prompt block's K/V once; the cached
+        suffix-only pass must equal the full [prompt | suffix] pass exactly
+        (the prompt never attends the suffix)."""
+        import dataclasses
+
+        import numpy as np
+
+        from intact_tpu.models.mvla import expert as expert_lib
+
+        cfg = dataclasses.replace(MVLAConfig.tiny(), alternate_pattern="joint")
+        params = mvla.init(jax.random.key(0), cfg)
+        prompt = mvla.compute_prompt(
+            params, batch["images"], batch["img_masks"], batch["lang_tokens"],
+            batch["lang_masks"], cfg, FP32,
+        )
+        x_t = jax.random.normal(
+            jax.random.key(7), (2, cfg.chunk_size, cfg.max_action_dim)
+        )
+        time = jnp.full((2,), 0.5, jnp.float32)
+        v_uncached = mvla.predict_velocity(
+            params, prompt, batch["state"], x_t, time, cfg, FP32,
+        )
+        kv = expert_lib.prefill_joint_prompt_kv(
+            params["expert"], prompt, cfg.expert, FP32, cfg.attention_impl
+        )
+        v_cached = mvla.predict_velocity(
+            params, prompt, batch["state"], x_t, time, cfg, FP32, prompt_kv=kv,
+        )
+        np.testing.assert_allclose(
+            np.asarray(v_cached), np.asarray(v_uncached), rtol=2e-5, atol=2e-5
+        )
+
 
 class TestDiTActionHead:
     """action_head='dit': DiT diffusion decoder over the connector prompt —

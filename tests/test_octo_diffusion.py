@@ -50,6 +50,26 @@ class TestDiffusion:
         b = diff.ddim_sample(s, eps_fn, jax.random.key(1), (2, 3), num_steps=8)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_ddim_eta_injects_noise(self):
+        """eta > 0 must produce the stochastic DDIM update (it used to be
+        silently ignored): different from eta=0, still finite, and
+        deterministic under a fixed key."""
+        s = diff.make_schedule(40)
+
+        def eps_fn(x_t, t_int, cond):
+            return x_t * 0.1
+
+        det = diff.ddim_sample(s, eps_fn, jax.random.key(1), (2, 3), num_steps=8)
+        sto = diff.ddim_sample(
+            s, eps_fn, jax.random.key(1), (2, 3), num_steps=8, eta=1.0
+        )
+        sto2 = diff.ddim_sample(
+            s, eps_fn, jax.random.key(1), (2, 3), num_steps=8, eta=1.0
+        )
+        assert np.isfinite(np.asarray(sto)).all()
+        assert not np.allclose(np.asarray(det), np.asarray(sto))
+        np.testing.assert_array_equal(np.asarray(sto), np.asarray(sto2))
+
 
 class TestDiT:
     def test_dit_zero_init_identity_and_grads(self):
@@ -117,6 +137,34 @@ class TestOcto:
         for name in ["patch_embed", "lang_embed", "readout_embed", "head"]:
             tot = sum(float(jnp.abs(l).sum()) for l in jax.tree.leaves(g[name]))
             assert np.isfinite(tot) and tot > 0, name
+
+    def test_proprio_conditions_the_model(self, setup):
+        """use_proprio=True must actually feed the state through
+        proprio_proj: different states -> different actions, and the
+        projection receives gradient (it was a dead, checkpointed-but-
+        unused parameter before)."""
+        import dataclasses
+
+        cfg, _, batch, octo = setup
+        pcfg = dataclasses.replace(cfg, use_proprio=True)
+        params = octo.init(jax.random.key(0), pcfg)
+        b = dict(batch)
+        a0 = octo.sample_actions(
+            params, jax.random.key(5), b["images"], b["img_masks"],
+            b["lang_tokens"], b["lang_masks"],
+            jnp.zeros((2, pcfg.proprio_dim)), pcfg, FP32,
+        )
+        a1 = octo.sample_actions(
+            params, jax.random.key(5), b["images"], b["img_masks"],
+            b["lang_tokens"], b["lang_masks"],
+            jnp.full((2, pcfg.proprio_dim), 3.0), pcfg, FP32,
+        )
+        assert not np.allclose(np.asarray(a0), np.asarray(a1))
+        g = jax.grad(lambda p: octo.compute_loss(
+            p, jax.random.key(3), {**b, "state": jnp.ones((2, pcfg.proprio_dim))},
+            pcfg, FP32)[0])(params)
+        tot = sum(float(jnp.abs(l).sum()) for l in jax.tree.leaves(g["proprio_proj"]))
+        assert np.isfinite(tot) and tot > 0
 
     def test_sample_shape_and_determinism(self, setup):
         cfg, params, batch, octo = setup
