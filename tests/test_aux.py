@@ -143,6 +143,41 @@ class TestActionParityCLI:
         strict = mod.score_int8(fix, None, "pi0_tiny", mse_gate=1e-12, rel_gate=1e-12)
         assert not strict["pass"]
 
+    def test_int8_ar_gate_machinery_tiny(self):
+        """The int8 gate for the native AR families (config-level
+        quantize_int8 serving): both precisions run the full greedy decode
+        on identical inputs, the verdict budgets the DECODED actions and
+        reports token agreement. At random init the verdict itself is
+        knife-edge (greedy ties), so this pins the machinery: metrics
+        finite, agreement in [0,1], decode deterministic across runs."""
+        import importlib.util
+        from pathlib import Path
+
+        import numpy as np
+
+        spec = importlib.util.spec_from_file_location(
+            "action_parity",
+            str(Path(__file__).parent.parent / "scripts/eval/action_parity.py"),
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+
+        for model in ("spatialvla_native_tiny", "magma_native_tiny"):
+            assert mod._is_ar_native(model)
+            result = mod.score_int8_ar(model, None, batch=2, seed=0,
+                                       use_bf16=False)
+            assert np.isfinite(result["mse"]), result
+            assert np.isfinite(result["mean_relative_deviation"]), result
+            assert 0.0 <= result["token_agreement"] <= 1.0, result
+            assert isinstance(result["pass"], bool)
+
+            a1, ids1 = mod.run_ar_policy(model, None, batch=2, seed=0,
+                                         use_bf16=False)
+            a2, ids2 = mod.run_ar_policy(model, None, batch=2, seed=0,
+                                         use_bf16=False)
+            np.testing.assert_array_equal(ids1, ids2)
+            np.testing.assert_array_equal(a1, a2)
+
 
 class TestPrefetchIterator:
     def test_order_and_prepare(self):
