@@ -122,6 +122,37 @@ class TestGatherToolsRoundTrip:
         assert d["base_task"] == "widowx_carrot_on_plate"
         assert d["delta"] == pytest.approx(0.375 - 0.5417, abs=1.1e-4)
 
+    def test_csv_vis_wandb_cli_chain(self, tmp_path, monkeypatch):
+        """The full analysis chain as the CLIs run it: eval.log tree ->
+        gather_data_to_csv --out -> experiment_vis --out png (checkpoint
+        curves need >1 step) -> gather_data_to_wandb (no-op gate here)."""
+        _write_eval_log(tmp_path, step=1513, tasks=METRICS)
+        _write_eval_log(
+            tmp_path, step=3026, ts="2026-08-18_12-00-00",
+            tasks={t: {k: min(v + 0.1, 1.0) for k, v in m.items()}
+                   for t, m in METRICS.items()},
+        )
+        out_csv = tmp_path / "results.csv"
+        csv_mod = _load_script("gather_data_to_csv")
+        monkeypatch.setattr("sys.argv", [
+            "gather", "--log-root", str(tmp_path / "eval_online"),
+            "--out", str(out_csv),
+        ])
+        assert csv_mod.main() == 0
+        assert out_csv.exists()
+
+        vis_mod = _load_script("experiment_vis")
+        out_png = tmp_path / "vis.png"
+        monkeypatch.setattr("sys.argv", [
+            "vis", "--csv", str(out_csv), "--out", str(out_png),
+        ])
+        assert vis_mod.main() == 0
+        assert out_png.stat().st_size > 1000  # a real rendered figure
+
+        wandb_mod = _load_script("gather_data_to_wandb")
+        monkeypatch.setattr("sys.argv", ["wandb", "--csv", str(out_csv)])
+        assert wandb_mod.main() == 0
+
     def test_delta_mapping_targets_exist_in_task_suite(self):
         """Every task in the delta table (both sides) is a real task name
         from the probing suite, so the analysis can never silently match
