@@ -105,17 +105,21 @@ def init(key, cfg: Gemma2Config) -> cm.Params:
 def _softcap_attention(q, k, v, mask, scale, cap):
     """Eager attention with logit softcapping (caps preclude the Pallas
     kernel; sequences here are short so the einsum path is roofline-bound
-    anyway)."""
-    h = q.shape[-2]
-    group = h // k.shape[-2]
-    k = jnp.repeat(k, group, axis=2)
-    v = jnp.repeat(v, group, axis=2)
-    logits = jnp.einsum("bthd,bshd->bhts", q * scale, k,
+    anyway). GQA contracts per KV head with the query group as a free
+    einsum dimension — repeated K/V are never materialized (the repeat
+    copied the whole KV set x group through HBM on every decode step;
+    see ops/attention.xla_attention)."""
+    b, t, h, d = q.shape
+    kvh = k.shape[2]
+    g = h // kvh
+    qg = q.reshape(b, t, kvh, g, d)
+    logits = jnp.einsum("btkgd,bskd->bkgts", qg * scale, k,
                         preferred_element_type=jnp.float32)
     logits = cap * jnp.tanh(logits / cap)
-    logits = jnp.where(mask[:, None, :, :], logits, BIG_NEG)
+    logits = jnp.where(mask[:, None, None, :, :], logits, BIG_NEG)
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-    return jnp.einsum("bhts,bshd->bthd", probs.astype(v.dtype), v)
+    out = jnp.einsum("bkgts,bskd->btkgd", probs.astype(v.dtype), v)
+    return out.reshape(b, t, h, d)
 
 
 def _sliding_mask(positions_q, positions_k, window: int):
