@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 from intact_tpu.models import common as cm
 from intact_tpu.models.common import DEFAULT_POLICY, DtypePolicy
-from intact_tpu.ops.attention import multi_head_attention
+from intact_tpu.ops.attention import multi_head_attention, xla_attention_cached
 from intact_tpu.ops.rope import apply_rope
 
 
@@ -213,13 +213,20 @@ def decode(
     cache_k, cache_v = kv_cache
     scale = cfg.head_dim**-0.5
 
+    p_len = cache_k.shape[2]  # [L, B, P, KVH, D]
+
     def body(x, inputs):
         bp, ck, cv = inputs
         y = cm.rms_norm(bp["ln1"], x, cfg.norm_eps)
         q, k, v = _qkv(bp, y, positions, cfg, policy)
-        k = jnp.concatenate([ck.astype(k.dtype), k], axis=1)
-        v = jnp.concatenate([cv.astype(v.dtype), v], axis=1)
-        att = multi_head_attention(q, k, v, mask=mask, scale=scale)
+        # split-cache attention: the prefix K/V stay where prefill wrote
+        # them — concatenating [cache; fresh] here re-copied the whole
+        # prefix cache through HBM on every layer of every Euler step
+        # (ops/attention.xla_attention_cached)
+        att = xla_attention_cached(
+            q, ck.astype(k.dtype), cv.astype(v.dtype), k, v,
+            mask[:, :, :p_len], mask[:, :, p_len:], scale=scale,
+        )
         x = _post_attention(bp, x, att, cfg, policy)
         return x, None
 

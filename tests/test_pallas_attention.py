@@ -61,6 +61,39 @@ class TestPallasAttention:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
+class TestSplitCacheAttention:
+    @pytest.mark.parametrize("h,kvh", [(8, 1), (4, 4), (8, 2)])
+    def test_matches_concat(self, h, kvh):
+        """xla_attention_cached(q, cache, fresh) == xla_attention over the
+        concatenated K/V — the decode path must be a pure bandwidth
+        optimization, never a numerics change."""
+        from intact_tpu.ops.attention import xla_attention_cached
+
+        b, t, s1, s2, d = 2, 5, 37, 5, 64
+        key = jax.random.key(3)
+        ks = jax.random.split(key, 5)
+        q = jax.random.normal(ks[0], (b, t, h, d))
+        kc = jax.random.normal(ks[1], (b, s1, kvh, d))
+        vc = jax.random.normal(ks[2], (b, s1, kvh, d))
+        kn = jax.random.normal(ks[3], (b, s2, kvh, d))
+        vn = jax.random.normal(ks[4], (b, s2, kvh, d))
+        mask = np.ones((b, t, s1 + s2), bool)
+        mask[:, :, s1 - 3:s1] = False   # cache padding
+        mask[0, :2, s1 + 1:] = False    # block structure in the fresh part
+        mask = jnp.asarray(mask)
+
+        ref = xla_attention(
+            q, jnp.concatenate([kc, kn], axis=1),
+            jnp.concatenate([vc, vn], axis=1), mask,
+        )
+        out = xla_attention_cached(
+            q, kc, vc, kn, vn, mask[:, :, :s1], mask[:, :, s1:],
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-6, rtol=2e-6,
+        )
+
+
 class TestPallasVJP:
     def test_grad_matches_xla(self):
         """pallas_attention_diff (flash fwd, XLA-math bwd) produces the same
