@@ -76,7 +76,8 @@ def prefill_joint_prompt_kv(
     mask = make_att_2d_masks(pad, jnp.zeros((b, p_len), jnp.int32))
     pos = jnp.broadcast_to(jnp.arange(p_len)[None], (b, p_len))
     _, kv = gemma_lib.prefill(
-        params, policy.cast(prompt), mask, pos, cfg, policy, attention_impl
+        params, policy.cast(prompt), mask, pos, cfg, policy, attention_impl,
+        kv_only=True,
     )
     return kv
 

@@ -223,7 +223,7 @@ def predict_velocity_frozen_prefix(params, images, img_masks, lang_tokens,
     pre_pos = jnp.cumsum(pre_pad.astype(jnp.int32), axis=1) - 1
     _, kv_cache = gemma.prefill(
         params["vlm"], stop(pre_embs), pre_mask, pre_pos, cfg.vlm, policy,
-        cfg.attention_impl,
+        cfg.attention_impl, kv_only=True,
     )
     kv_cache = stop(kv_cache)
 
@@ -267,7 +267,8 @@ def sample_actions(params, key, images, img_masks, lang_tokens, lang_masks, stat
     pre_pos = jnp.cumsum(pre_pad.astype(jnp.int32), axis=1) - 1
 
     _, kv_cache = gemma.prefill(
-        params["vlm"], pre_embs, pre_mask, pre_pos, cfg.vlm, policy, cfg.attention_impl
+        params["vlm"], pre_embs, pre_mask, pre_pos, cfg.vlm, policy,
+        cfg.attention_impl, kv_only=True,
     )
 
     prefix_count = pre_pad.sum(axis=1, keepdims=True).astype(jnp.int32)  # [B, 1]

@@ -178,7 +178,8 @@ def sample_actions(params, key, images, img_masks, lang_tokens, lang_masks, stat
     pre_mask = make_att_2d_masks(pre_pad, pre_att)
     pre_pos = jnp.cumsum(pre_pad.astype(jnp.int32), axis=1) - 1
     _, (ck, cv) = gemma.prefill(
-        params["vlm"], pre_embs, pre_mask, pre_pos, cfg.vlm, policy, cfg.attention_impl
+        params["vlm"], pre_embs, pre_mask, pre_pos, cfg.vlm, policy,
+        cfg.attention_impl, kv_only=True,
     )
     # preallocate the suffix region of the cache
     pad_spec = [(0, 0), (0, 0), (0, t), (0, 0), (0, 0)]

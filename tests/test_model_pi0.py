@@ -239,6 +239,27 @@ class TestSampling:
 
         np.testing.assert_allclose(np.asarray(v_joint), np.asarray(v_cached), rtol=2e-5, atol=2e-5)
 
+    def test_prefill_kv_only_cache_identical(self, cfg, params, batch):
+        """kv_only=True must be a pure dead-code skip: head layers run the
+        same scan body (bit-identical); the last layer's KV projection
+        compiles outside the scan, so allow float-eps reassociation there."""
+        pre_embs, pre_pad, pre_att = pi0.embed_prefix(
+            params, batch["images"], batch["img_masks"], batch["lang_tokens"],
+            batch["lang_masks"], cfg, FP32,
+        )
+        pre_mask = make_att_2d_masks(pre_pad, pre_att)
+        pre_pos = jnp.cumsum(pre_pad.astype(jnp.int32), axis=1) - 1
+        x_full, kv_full = gemma.prefill(
+            params["vlm"], pre_embs, pre_mask, pre_pos, cfg.vlm, FP32)
+        x_kv, kv_only = gemma.prefill(
+            params["vlm"], pre_embs, pre_mask, pre_pos, cfg.vlm, FP32,
+            kv_only=True)
+        assert x_full is not None and x_kv is None
+        for full, only in zip(kv_full, kv_only):
+            full, only = np.asarray(full), np.asarray(only)
+            np.testing.assert_array_equal(full[:-1], only[:-1])
+            np.testing.assert_allclose(full[-1], only[-1], rtol=1e-5, atol=1e-5)
+
     def test_flow_matching_identity(self, cfg):
         """x_t interpolation and u_t target match the reference math."""
         actions = jnp.ones((1, 2, 3))
