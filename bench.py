@@ -58,42 +58,70 @@ def bench_train(args) -> int:
     from intact_tpu.train.optim import OptimizerConfig, make_optimizer
     from intact_tpu.train.train_step import init_train_state, make_train_step
 
+    joint = args.recipe == "joint"
+    if joint and args.model != "pi0":
+        print("--recipe joint is the reference's pi0_finetune_bridge.yaml "
+              "recipe; only --model pi0 has it", file=sys.stderr)
+        return 2
+    if joint and args.int8:
+        print("--int8 (quantize_frozen_int8) is unsound on the joint path: "
+              "gradients flow through the tower", file=sys.stderr)
+        return 2
+
     entry = model_registry.get(args.model + ("_tiny" if args.tiny else ""))
     pi0 = importlib.import_module(entry["module"])  # family model module
     cfg = entry["default_config"]()
     if hasattr(cfg, "train_expert_only"):
-        cfg = dataclasses.replace(cfg, train_expert_only=True)
+        cfg = dataclasses.replace(cfg, train_expert_only=not joint)
     policy = cm.DtypePolicy(
         param_dtype=jnp.float32,
         compute_dtype=jnp.bfloat16 if not args.cpu else jnp.float32,
     )
     b = args.batch
-    print(f"# train mode: device={jax.devices()[0]} batch={b} model={args.model}",
-          file=sys.stderr)
+    print(f"# train mode: device={jax.devices()[0]} batch={b} "
+          f"model={args.model} recipe={args.recipe}", file=sys.stderr)
 
     t0 = time.time()
     template = jax.eval_shape(lambda k: pi0.init(k, cfg), jax.random.key(0))
     trainable = jax.tree.map(lambda _: False, template)
-    # per-family trainable set under train_expert_only (frozen: SigLIP + VLM
-    # + their glue; MVLA's metaqueries/connector train through the frozen VLM)
-    trainable_names = [
-        n for n in ["expert", "connector", "metaquery", "state_proj",
-                    "action_in_proj", "time_mlp_in", "time_mlp_out",
-                    "action_out_proj", "action_head", "value_head"]
-        if n in template
-    ]
-    for name in trainable_names:
-        trainable[name] = jax.tree.map(lambda _: True, trainable[name])
-    if not trainable_names:  # pi0fast: AR over the VLM itself -> full fine-tune
+    if joint:
+        # reference primary recipe (config/train/pi0_finetune_bridge.yaml +
+        # src/agent/trainer.py:109-123): everything trains except the VLM
+        # token embedding (freeze_lm_head) — full SigLIP+VLM gradients
         trainable = jax.tree.map(lambda _: True, template)
+        trainable["vlm_embed"] = jax.tree.map(
+            lambda _: False, trainable["vlm_embed"])
+        trainable_names = [n for n in template if n != "vlm_embed"]
+    else:
+        # per-family trainable set under train_expert_only (frozen: SigLIP +
+        # VLM + glue; MVLA's metaqueries/connector train through the frozen
+        # VLM)
+        trainable_names = [
+            n for n in ["expert", "connector", "metaquery", "state_proj",
+                        "action_in_proj", "time_mlp_in", "time_mlp_out",
+                        "action_out_proj", "action_head", "value_head"]
+            if n in template
+        ]
+        for name in trainable_names:
+            trainable[name] = jax.tree.map(lambda _: True, trainable[name])
+        if not trainable_names:  # pi0fast: AR over the VLM -> full fine-tune
+            trainable = jax.tree.map(lambda _: True, template)
 
-    frozen_dtype = jnp.float32 if args.cpu else jnp.bfloat16
-    params = jax.jit(
-        lambda k: jax.tree.map(
-            lambda x, t: x if t else x.astype(frozen_dtype),
-            pi0.init(k, cfg), trainable,
-        )
-    )(jax.random.key(0))
+    if joint:
+        # reference joint precision: the whole model bf16 (model.to(bf16),
+        # trainer.py:133-140); updates applied with stochastic rounding
+        params = jax.jit(
+            lambda k: jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16), pi0.init(k, cfg))
+        )(jax.random.key(0))
+    else:
+        frozen_dtype = jnp.float32 if args.cpu else jnp.bfloat16
+        params = jax.jit(
+            lambda k: jax.tree.map(
+                lambda x, t: x if t else x.astype(frozen_dtype),
+                pi0.init(k, cfg), trainable,
+            )
+        )(jax.random.key(0))
     jax.block_until_ready(params)
 
     if args.int8:
@@ -112,27 +140,61 @@ def bench_train(args) -> int:
         for name in trainable_names:
             trainable[name] = jax.tree.map(lambda _: True, trainable[name])
 
-    tx, _ = make_optimizer(
-        OptimizerConfig(lr=5e-5, warmup_steps=10, first_cycle_steps=10_000),
-        frozen_mask=trainable,
-    )
+    opt_mode = args.opt or ("8bit" if joint else "fp32")
+    if joint:
+        # FUSED step (train/fused_joint.py): the full gradient tree never
+        # exists — params (bf16, 6.4 GB) + int8 moments (5.5 GB) + all
+        # grads (5.4 GB) cannot coexist on a 15.75 GB chip, so the reverse
+        # layer scan applies each layer's AdamW update in place. Delayed
+        # global-norm clipping (module docstring).
+        from intact_tpu.train.fused_joint import (
+            init_fused_state,
+            make_fused_joint_step,
+        )
 
-    def loss_fn(p, key, batch):
-        return pi0.compute_loss(p, key, batch, cfg, policy)
+        if opt_mode != "8bit":
+            print("# note: --recipe joint always uses int8 moments for "
+                  "large leaves (fp32 moments alone exceed HBM)",
+                  file=sys.stderr)
+        state = jax.jit(
+            lambda p: init_fused_state(p, seed=0), donate_argnums=(0,)
+        )(params)
+        step = jax.jit(
+            make_fused_joint_step(cfg, OptimizerConfig(
+                lr=5e-5, weight_decay=0.0, warmup_steps=10,
+                first_cycle_steps=10_000), policy),
+            donate_argnums=(0,),
+        )
+    else:
+        tx, _ = make_optimizer(
+            OptimizerConfig(lr=5e-5, warmup_steps=10, first_cycle_steps=10_000,
+                            quantize_moments=opt_mode == "8bit"),
+            frozen_mask=trainable,
+        )
 
-    # remat default: OFF for pi0 — the frozen-prefix fast path stores only
-    # expert activations (the 3B tower has no backward at all), so
-    # rematerialization is pure recompute: 46.3 -> 89.6 samples/s at batch
-    # 48 with it off (96 OOMs bf16; int8 frozen tower reaches 125.7 at 96).
-    # ON for families that backward through the tower (mvla activation
-    # grads; pi0fast/octo full fine-tune).
-    use_remat = {"on": True, "off": False}.get(args.remat, args.model != "pi0")
-    state = init_train_state(params, tx, seed=0)
-    step = jax.jit(
-        make_train_step(loss_fn, tx, policy, remat=use_remat,
-                        trainable_mask=trainable if trainable_names else None),
-        donate_argnums=(0,),
-    )
+        def loss_fn(p, key, batch):
+            return pi0.compute_loss(p, key, batch, cfg, policy)
+
+        # remat default: OFF for pi0 — the frozen-prefix fast path stores
+        # only expert activations (the 3B tower has no backward at all), so
+        # rematerialization is pure recompute: 46.3 -> 89.6 samples/s at
+        # batch 48 with it off (96 OOMs bf16; int8 frozen tower reaches
+        # 125.7 at 96). ON for families that backward through the tower
+        # (mvla activation grads; pi0fast/octo full fine-tune).
+        use_remat = {"on": True, "off": False}.get(
+            args.remat, args.model != "pi0")
+        # jit + donate: eager tx.init would chain per-leaf transients (fp32
+        # zeros, quantization indices) that OOM a 3B init; under jit XLA
+        # frees them and aliases params into the state
+        state = jax.jit(
+            lambda p: init_train_state(p, tx, seed=0), donate_argnums=(0,)
+        )(params)
+        step = jax.jit(
+            make_train_step(
+                loss_fn, tx, policy, remat=use_remat,
+                trainable_mask=trainable if trainable_names else None),
+            donate_argnums=(0,),
+        )
     print(f"# init {time.time()-t0:.1f}s", file=sys.stderr)
 
     ks = jax.random.split(jax.random.key(1), 4)
@@ -153,7 +215,7 @@ def bench_train(args) -> int:
     # see intact_tpu.utils.device.drain_device_queue)
     from intact_tpu.utils.device import drain_device_queue
 
-    drain_device_queue((params, batch))
+    drain_device_queue((state.params, batch))
 
     t0 = time.time()
     state, metrics = step(state, batch)
@@ -172,7 +234,9 @@ def bench_train(args) -> int:
     print(f"# median step {t_med*1e3:.1f} ms -> {samples_per_sec:.1f} samples/s",
           file=sys.stderr)
     print(json.dumps({
-        "metric": f"{args.model}_train{'_int8frozen' if args.int8 else ''}"
+        "metric": f"{args.model}_train"
+                  f"{'_joint' if joint else ''}"
+                  f"{'_int8frozen' if args.int8 else ''}"
                   "_samples_per_sec_per_chip",
         "value": round(samples_per_sec, 2),
         "unit": "samples/s",
@@ -358,6 +422,18 @@ def main() -> int:
                     help="model family (pi0/pi0fast/mvla/octo share the "
                          "sample_actions / compute_loss signatures; "
                          "spatialvla/magma bench their native AR decode)")
+    ap.add_argument("--recipe", choices=["expertonly", "joint"],
+                    default="expertonly",
+                    help="train mode: expertonly = frozen tower (fast path);"
+                         " joint = the reference's PRIMARY recipe "
+                         "(pi0_finetune_bridge.yaml) — full VLM+SigLIP "
+                         "gradients, only the token embedding frozen "
+                         "(freeze_lm_head), bf16 masters + stochastic "
+                         "rounding + 8-bit Adam moments (bnb AdamW8bit "
+                         "precision parity)")
+    ap.add_argument("--opt", choices=["8bit", "fp32"], default=None,
+                    help="optimizer moment storage (default: 8bit for "
+                         "--recipe joint, fp32 otherwise)")
     args = ap.parse_args()
     if args.batch is None:
         # train default 48: with the frozen-prefix fast path (no VLM
@@ -366,6 +442,8 @@ def main() -> int:
         # 96 OOMs). AR decode at 4-8B: batch 16 fits beside the KV cache.
         if args.model in ("spatialvla", "magma"):
             args.batch = 16
+        elif args.mode == "train" and args.recipe == "joint":
+            args.batch = 24  # full-tower grads: VERDICT r3 target batch
         else:
             args.batch = 48 if args.mode == "train" else 64
     if args.model in ("spatialvla", "magma"):

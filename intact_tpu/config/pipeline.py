@@ -196,6 +196,18 @@ class TrainPipelineConfig:
 
     use_bf16: bool = True
     remat: bool = False
+    # bnb-AdamW8bit equivalent (reference trainer.py:204-210): blockwise
+    # int8 Adam moments. 6 bytes/param less optimizer HBM — required to fit
+    # the full-tower joint recipe on one 16 GB chip; parity pinned by
+    # tests/test_optim8bit.py.
+    optimizer_8bit: bool = False
+    # Trainable-parameter storage dtype. "float32" (default) = fp32 masters.
+    # "bfloat16" matches the reference's joint recipe (model.to(bf16) before
+    # AdamW8bit, trainer.py:133-140): halves param+grad HBM; updates are
+    # applied with STOCHASTIC rounding so sub-ulp updates accumulate
+    # correctly in expectation (strictly better than the reference's
+    # round-to-nearest — see train/optim8bit.apply_updates_stochastic).
+    master_dtype: str = "float32"
     # Expert-only fine-tunes: store the frozen tower's block kernels int8
     # (W8A8 forward on the int8 MXU, ~2x bf16 prefill). Only valid where no
     # gradient flows through the tower (pi0 + train_expert_only; the
@@ -383,4 +395,5 @@ def optimizer_config_from_model_json(d: dict, pipeline: TrainPipelineConfig):
         warmup_steps=warmup,
         first_cycle_steps=first_cycle,
         min_lr=float(d.get("scheduler_decay_lr", 1e-8)),
+        quantize_moments=pipeline.optimizer_8bit,
     )

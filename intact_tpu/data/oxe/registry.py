@@ -657,12 +657,16 @@ def _mujoco_manip(traj):
 # ---------------------------------------------------------------------------
 
 def _entry(primary=None, secondary=None, wrist=None, enc=EEF_POS, transform=None,
-           lang=True):
+           lang=True, depth=None, depth_secondary=None, depth_wrist=None):
     """lang=False marks datasets whose transform BLANKs uninformative
     language — the unlabeled filter must not apply to them (it would drop
-    every episode)."""
+    every episode). depth*/depth_wrist mirror the reference's
+    depth_obs_keys (`src/data/oxe/oxe_dataset_configs.py:42-`): raw
+    observation keys for per-view depth, None where the view has none."""
     return {
         "image_keys": {"primary": primary, "secondary": secondary, "wrist": wrist},
+        "depth_keys": {"primary": depth, "secondary": depth_secondary,
+                       "wrist": depth_wrist},
         "action_encoding": enc,
         "transform": transform,
         "action_normalization_mask": ACTION_NORMALIZATION_MASKS[enc],
@@ -676,8 +680,10 @@ OXE_DATASET_CONFIGS: dict[str, dict] = {
     "fractal_euler": _E("image", transform=_rt1),
     "kuka": _E("image", transform=_kuka, lang=False),
     "bridge_dataset": _E("image_0", secondary="image_1", transform=_bridge),
-    "taco_play": _E("rgb_static", wrist="rgb_gripper", transform=_taco),
-    "taco_play_libero": _E("rgb_static", wrist="rgb_gripper", transform=_taco_libero),
+    "taco_play": _E("rgb_static", wrist="rgb_gripper", transform=_taco,
+                    depth="depth_static", depth_wrist="depth_gripper"),
+    "taco_play_libero": _E("rgb_static", wrist="rgb_gripper", transform=_taco_libero,
+                           depth="depth_static", depth_wrist="depth_gripper"),
     "libero_spatial": _E("image", wrist="wrist_image", transform=_libero),
     "libero_object": _E("image", wrist="wrist_image", transform=_libero),
     "libero_goal": _E("image", wrist="wrist_image", transform=_libero),
@@ -690,12 +696,13 @@ OXE_DATASET_CONFIGS: dict[str, dict] = {
     "roboturk": _E("front_rgb", transform=_roboturk, lang=False),
     "nyu_door_opening_surprising_effectiveness": _E(wrist="image", transform=_nyu_door, lang=False),
     "viola": _E("agentview_rgb", wrist="eye_in_hand_rgb", transform=_viola, lang=False),
-    "berkeley_autolab_ur5": _E("image", wrist="hand_image", transform=_autolab_ur5),
+    "berkeley_autolab_ur5": _E("image", wrist="hand_image", transform=_autolab_ur5,
+                               depth="depth"),
     "toto": _E("image", transform=_toto, lang=False),
     "language_table": _E("rgb", transform=_language_table),
     "columbia_cairlab_pusht_real": _E("image", wrist="wrist_image", transform=_pusht),
     "stanford_kuka_multimodal_dataset_converted_externally_to_rlds": _E(
-        "image", transform=_stanford_kuka_mm
+        "image", transform=_stanford_kuka_mm, depth="depth_image"
     ),
     "nyu_rot_dataset_converted_externally_to_rlds": _E("image", transform=_nyu_rot),
     "stanford_hydra_dataset_converted_externally_to_rlds": _E(
@@ -705,10 +712,11 @@ OXE_DATASET_CONFIGS: dict[str, dict] = {
         "image", wrist="wrist_image", transform=_austin_buds
     , lang=False),
     "nyu_franka_play_dataset_converted_externally_to_rlds": _E(
-        "image", secondary="image_additional_view", transform=_nyu_franka_play
-    , lang=False),
+        "image", secondary="image_additional_view", transform=_nyu_franka_play,
+        depth="depth", depth_secondary="depth_additional_view", lang=False),
     "maniskill_dataset_converted_externally_to_rlds": _E(
-        "image", wrist="wrist_image", transform=_maniskill
+        "image", wrist="wrist_image", transform=_maniskill,
+        depth="depth", depth_wrist="wrist_depth"
     ),
     "furniture_bench_dataset_converted_externally_to_rlds": _E(
         "image", wrist="wrist_image", transform=_furniture_bench
@@ -763,7 +771,8 @@ OXE_DATASET_CONFIGS: dict[str, dict] = {
     ),
     "asu_table_top_converted_externally_to_rlds": _E("image", transform=_asu_table_top),
     "stanford_robocook_converted_externally_to_rlds": _E(
-        "image_1", secondary="image_2", transform=_robocook
+        "image_1", secondary="image_2", transform=_robocook,
+        depth="depth_1", depth_secondary="depth_2"
     ),
     "imperialcollege_sawyer_wrist_cam": _E(
         "image", wrist="wrist_image", transform=_imperial_wristcam
@@ -771,7 +780,8 @@ OXE_DATASET_CONFIGS: dict[str, dict] = {
     "iamlab_cmu_pickup_insert_converted_externally_to_rlds": _E(
         "image", wrist="wrist_image", transform=_iamlab_pick_insert
     ),
-    "uiuc_d3field": _E("image_1", secondary="image_2", transform=_uiuc_d3field),
+    "uiuc_d3field": _E("image_1", secondary="image_2", transform=_uiuc_d3field,
+                       depth="depth_1", depth_secondary="depth_2"),
     "utaustin_mutex": _E("image", wrist="wrist_image", transform=_utaustin_mutex, lang=False),
     "berkeley_fanuc_manipulation": _E(
         "image", wrist="wrist_image", transform=_berkeley_fanuc
@@ -795,7 +805,9 @@ OXE_DATASET_CONFIGS: dict[str, dict] = {
         enc=JOINT_POS_BIMANUAL_NAV, transform=_aloha,
     ),
     "fmb_dataset": _E(
-        "image_side_1", secondary="image_side_2", wrist="image_wrist_1", transform=_fmb
+        "image_side_1", secondary="image_side_2", wrist="image_wrist_1", transform=_fmb,
+        depth="image_side_1_depth", depth_secondary="image_side_2_depth",
+        depth_wrist="image_wrist_1_depth"
     ),
     "dobbe": _E(wrist="wrist_image", transform=_dobbe),
     "roboset": _E(
@@ -814,7 +826,8 @@ OXE_DATASET_CONFIGS: dict[str, dict] = {
 # canonicalization wrapper
 # ---------------------------------------------------------------------------
 
-def _canonicalize(traj, *, name: str, cameras: tuple[str, ...]):
+def _canonicalize(traj, *, name: str, cameras: tuple[str, ...],
+                  load_depth: bool = False):
     """Run the per-dataset transform, then assemble the canonical layout."""
     tf = _tf()
     entry = OXE_DATASET_CONFIGS[name]
@@ -830,6 +843,21 @@ def _canonicalize(traj, *, name: str, cameras: tuple[str, ...]):
         else:
             # padding camera: empty byte string, decoded to a zeros frame
             obs[key] = tf.fill([n], tf.constant("", tf.string))
+        if load_depth:
+            # depth pass-through (reference depth_obs_keys,
+            # oxe_dataset_configs.py:42-): raw per-view depth under
+            # depth_<view>; a view without depth gets a [T,1,1,1] zeros
+            # placeholder so downstream structure is uniform per dataset
+            draw = entry.get("depth_keys", {}).get(cam)
+            dkey = f"depth_{cam}"
+            if draw is not None:
+                d = traj["observation"][draw]
+                # png/jpeg-encoded depth passes through as bytes; numeric
+                # depth is canonicalized to float32
+                obs[dkey] = d if d.dtype == tf.string else tf.cast(d, tf.float32)
+            else:
+                obs[dkey] = tf.zeros(
+                    tf.concat([[n], [1, 1, 1]], axis=0), tf.float32)
 
     if proprio is None:
         proprio = tf.zeros((n, 1), tf.float32)
@@ -970,6 +998,7 @@ def make_oxe_dataset_kwargs(
     data_dir: str,
     load_camera_views: tuple[str, ...] = ("primary",),
     load_proprio: bool = True,
+    load_depth: bool = False,
 ) -> dict:
     if name not in OXE_DATASET_CONFIGS:
         raise KeyError(
@@ -986,7 +1015,8 @@ def make_oxe_dataset_kwargs(
         "name": name,
         "data_dir": data_dir,
         "standardize_fn": functools.partial(
-            _canonicalize, name=name, cameras=tuple(load_camera_views)
+            _canonicalize, name=name, cameras=tuple(load_camera_views),
+            load_depth=load_depth,
         ),
         "load_proprio": load_proprio,
         "action_normalization_mask": list(cfg["action_normalization_mask"]),
@@ -1000,6 +1030,7 @@ def make_oxe_dataset_kwargs_and_weights(
     data_dir: str,
     load_camera_views: tuple[str, ...] = ("primary",),
     load_proprio: bool = True,
+    load_depth: bool = False,
 ) -> tuple[list[dict], list[float]]:
     """Named mix -> (per-dataset kwargs for make_dataset_from_rlds, weights)."""
     if mix_name in OXE_NAMED_MIXES:
@@ -1027,7 +1058,8 @@ def make_oxe_dataset_kwargs_and_weights(
             continue
         seen.add(name)
         kwargs_list.append(
-            make_oxe_dataset_kwargs(name, data_dir, load_camera_views, load_proprio)
+            make_oxe_dataset_kwargs(name, data_dir, load_camera_views,
+                                    load_proprio, load_depth)
         )
         weights.append(weight)
     return kwargs_list, weights

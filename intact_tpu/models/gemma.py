@@ -142,10 +142,51 @@ def forward_joint(
     expert_cfg: GemmaConfig,
     policy: DtypePolicy = DEFAULT_POLICY,
     attention_impl: str = "xla",
+    suffix_only: bool = False,
 ):
-    """Training pass. Returns (prefix_out, suffix_out), both final-normed."""
+    """Training pass. Returns (prefix_out, suffix_out), both final-normed.
+
+    suffix_only=True is for callers that discard prefix_out (Pi0's training
+    loss reads only the action-chunk suffix). Like prefill's kv_only: the
+    LAST layer's prefix attention output, o-projection, and 16k-wide MLP
+    feed only prefix_out — dead fwd AND bwd compute (~1 prefix layer of 18,
+    ~5% of the joint step's FLOPs) that XLA cannot eliminate because every
+    scan iteration shares one body. The last layer pair then runs: prefix
+    -> bare ln1+KV projection; suffix -> full attention over [prefix K/V;
+    suffix K/V] + MLP. Gradients are bit-identical: the only paths from the
+    discarded prefix tail to the loss are the ones removed. Returns
+    (None, suffix_out).
+    """
     p_len = x_pre.shape[1]
     pos_pre, pos_suf = positions[:, :p_len], positions[:, p_len:]
+
+    body = _joint_body(mask, pos_pre, pos_suf, vlm_cfg, expert_cfg, policy,
+                       attention_impl)
+
+    blocks = (vlm_params["blocks"], expert_params["blocks"])
+    if not suffix_only:
+        (x_pre, x_suf), _ = jax.lax.scan(body, (x_pre, x_suf), blocks)
+        x_pre = cm.rms_norm(vlm_params["final_norm"], x_pre, vlm_cfg.norm_eps)
+        x_suf = cm.rms_norm(expert_params["final_norm"], x_suf, expert_cfg.norm_eps)
+        return x_pre, x_suf
+
+    head = jax.tree_util.tree_map(lambda a: a[:-1], blocks)
+    last_v, last_e = jax.tree_util.tree_map(lambda a: a[-1], blocks)
+    (x_pre, x_suf), _ = jax.lax.scan(body, (x_pre, x_suf), head)
+    x_suf = joint_last_pair(
+        last_v, last_e, x_pre, x_suf, mask[:, p_len:, :], pos_pre, pos_suf,
+        vlm_cfg, expert_cfg, policy,
+    )
+    x_suf = cm.rms_norm(expert_params["final_norm"], x_suf, expert_cfg.norm_eps)
+    return None, x_suf
+
+
+def _joint_body(mask, pos_pre, pos_suf, vlm_cfg: GemmaConfig,
+                expert_cfg: GemmaConfig, policy: DtypePolicy,
+                attention_impl: str):
+    """One joint prefix+suffix layer pair as a checkpointed scan body
+    (shared by forward_joint and the fused-backward segments)."""
+    p_len = pos_pre.shape[1]
     scale = vlm_cfg.head_dim**-0.5
 
     @jax.checkpoint  # per-layer remat: backward recomputes one layer at a time
@@ -164,12 +205,50 @@ def forward_joint(
         xs = _post_attention(bp_e, xs, att[:, p_len:], expert_cfg, policy)
         return (xp, xs), None
 
+    return body
+
+
+def joint_segment(vlm_blocks, expert_blocks, x_pre, x_suf, mask, positions,
+                  vlm_cfg: GemmaConfig, expert_cfg: GemmaConfig,
+                  policy: DtypePolicy = DEFAULT_POLICY,
+                  attention_impl: str = "xla"):
+    """Scan a SLICE of layer pairs (the fused-backward segment unit,
+    train/fused_joint.py). Same body as forward_joint."""
+    p_len = x_pre.shape[1]
+    pos_pre, pos_suf = positions[:, :p_len], positions[:, p_len:]
+    body = _joint_body(mask, pos_pre, pos_suf, vlm_cfg, expert_cfg, policy,
+                       attention_impl)
     (x_pre, x_suf), _ = jax.lax.scan(
-        body, (x_pre, x_suf), (vlm_params["blocks"], expert_params["blocks"])
+        body, (x_pre, x_suf), (vlm_blocks, expert_blocks)
     )
-    x_pre = cm.rms_norm(vlm_params["final_norm"], x_pre, vlm_cfg.norm_eps)
-    x_suf = cm.rms_norm(expert_params["final_norm"], x_suf, expert_cfg.norm_eps)
     return x_pre, x_suf
+
+
+def joint_last_pair(last_v, last_e, x_pre, x_suf, suffix_mask, pos_pre,
+                    pos_suf, vlm_cfg: GemmaConfig, expert_cfg: GemmaConfig,
+                    policy: DtypePolicy = DEFAULT_POLICY):
+    """The suffix_only last layer: prefix side contributes only ln1 + K/V
+    (its attention output / o-proj / MLP are dead when prefix_out is
+    discarded); suffix side runs the full layer against [prefix K/V;
+    suffix K/V]. suffix_mask is mask[:, p_len:, :]."""
+    scale = vlm_cfg.head_dim**-0.5
+
+    @jax.checkpoint
+    def last_pair(xp, xs):
+        yp = cm.rms_norm(last_v["ln1"], xp, vlm_cfg.norm_eps)
+        kp, vp = _kv(last_v, yp, pos_pre, vlm_cfg, policy)
+        ys = cm.rms_norm(last_e["ln1"], xs, expert_cfg.norm_eps)
+        qs, ks, vs = _qkv(last_e, ys, pos_suf, expert_cfg, policy)
+        k = jnp.concatenate([kp, ks], axis=1)
+        v = jnp.concatenate([vp, vs], axis=1)
+        # xla impl: a handful of suffix query rows (S = 1+chunk) — below the
+        # pallas kernel's tile size; same choice as decode's cached attention
+        att = multi_head_attention(
+            qs, k, v, mask=suffix_mask, impl="xla", scale=scale
+        )
+        return _post_attention(last_e, xs, att, expert_cfg, policy)
+
+    return last_pair(x_pre, x_suf)
 
 
 def prefill(

@@ -5,10 +5,14 @@ CosineAnnealingWarmupRestarts (`src/utils/optim.py:33-150`): linear warmup
 min_lr -> max_lr over warmup_steps, cosine decay back to min_lr across the
 cycle, geometric cycle growth (cycle_mult) and per-cycle max-lr decay (gamma).
 
-Optimizer: optax AdamW replaces bitsandbytes AdamW8bit (`trainer.py:204-210`)
-— fp32 moments sharded with the params under fsdp, so the 8-bit trick is not
-needed for memory; an int8-moment transform can be layered later if HBM gets
-tight. Gradient accumulation uses optax.MultiSteps (reference: DDP no_sync
+Optimizer: optax AdamW replaces bitsandbytes AdamW8bit (`trainer.py:204-210`).
+Two precision modes:
+  * default: fp32 moments, sharded with the params under fsdp;
+  * quantize_moments=True: blockwise int8 moments (train.optim8bit), the
+    bnb-AdamW8bit equivalent — 6 bytes/param less optimizer HBM, the
+    difference between fitting and not fitting the full-tower joint recipe
+    on a single chip (README training section).
+Gradient accumulation uses optax.MultiSteps (reference: DDP no_sync
 accumulation, `trainer.py:293-296`).
 """
 
@@ -70,6 +74,37 @@ class OptimizerConfig:
     cycle_mult: float = 1.0
     gamma: float = 1.0
     grad_accumulation_steps: int = 1
+    # bnb-AdamW8bit equivalent: blockwise int8 mu/nu (train.optim8bit)
+    quantize_moments: bool = False
+
+
+def clip_by_global_norm_f32(max_norm: float) -> optax.GradientTransformation:
+    """optax.clip_by_global_norm with the norm ACCUMULATED in fp32.
+
+    With bf16 master params (master_dtype: bfloat16, the reference's joint
+    recipe precision) gradients are bf16; summing ~3e9 squared bf16 terms in
+    bf16 loses the norm to accumulation error. The cast fuses into the
+    reduction — no fp32 gradient tree is materialized.
+    """
+
+    def init(params):
+        del params
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        del params
+        sq = sum(
+            jnp.sum(jnp.square(x.astype(jnp.float32)))
+            for x in jax.tree.leaves(updates)
+        )
+        norm = jnp.sqrt(sq)
+        scale = jnp.minimum(1.0, max_norm / jnp.maximum(norm, 1e-16))
+        return (
+            jax.tree.map(lambda x: (x * scale.astype(x.dtype)), updates),
+            state,
+        )
+
+    return optax.GradientTransformation(init, update)
 
 
 def make_optimizer(cfg: OptimizerConfig, frozen_mask=None):
@@ -93,16 +128,25 @@ def make_optimizer(cfg: OptimizerConfig, frozen_mask=None):
         cycle_mult=cfg.cycle_mult,
         gamma=cfg.gamma,
     )
-    tx = optax.chain(
-        optax.clip_by_global_norm(cfg.max_grad_norm),
-        optax.adamw(
+    if cfg.quantize_moments:
+        from intact_tpu.train.optim8bit import adamw8bit
+
+        adam = adamw8bit(
             schedule,
             b1=cfg.betas[0],
             b2=cfg.betas[1],
             eps=cfg.eps,
             weight_decay=cfg.weight_decay,
-        ),
-    )
+        )
+    else:
+        adam = optax.adamw(
+            schedule,
+            b1=cfg.betas[0],
+            b2=cfg.betas[1],
+            eps=cfg.eps,
+            weight_decay=cfg.weight_decay,
+        )
+    tx = optax.chain(clip_by_global_norm_f32(cfg.max_grad_norm), adam)
     if cfg.grad_accumulation_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=cfg.grad_accumulation_steps)
     if frozen_mask is not None:

@@ -48,6 +48,7 @@ def make_train_step(
     policy: cm.DtypePolicy = cm.DEFAULT_POLICY,
     remat: bool = False,
     trainable_mask=None,  # pytree of bool like params; True = trainable
+    stochastic_rounding: bool = False,  # for bf16 master params
 ):
     """-> step(state, batch) -> (state, metrics). Pure; jit at the call site
     with shardings + donate_argnums=(0,)].
@@ -111,10 +112,18 @@ def make_train_step(
             return jax.value_and_grad(loss_fn, has_aux=True)(params, step_key, batch)
 
     def step(state: TrainState, batch) -> tuple[TrainState, dict]:
-        rng, step_key = jax.random.split(state.rng)
+        rng, step_key, sr_key = jax.random.split(state.rng, 3)
         (loss, aux), grads = value_and_grad_params(state.params, step_key, batch)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
+        if stochastic_rounding:
+            # bf16 masters: sub-ulp updates round away under round-to-
+            # nearest (bf16 ulp ~ 0.4% relative vs lr*update ~ 1e-5);
+            # stochastic rounding keeps E[param] exact (optim8bit docstring)
+            from intact_tpu.train.optim8bit import apply_updates_stochastic
+
+            params = apply_updates_stochastic(state.params, updates, sr_key)
+        else:
+            params = optax.apply_updates(state.params, updates)
         # param_norm over float leaves only: int8 kernel_q leaves (the
         # quantize_frozen_int8 tower) would square in int8 arithmetic,
         # wrap negative, and turn the whole norm into NaN.
@@ -174,6 +183,19 @@ def state_shardings(state: TrainState, mesh, rules=None):
         for start in range(len(keys)):
             if keys[start:] in flat_params:
                 return flat_params[keys[start:]]
+        # int8-quantized moments (optim8bit): {"q": [nblocks, block],
+        # "scale": [nblocks, 1]} under the param's path. The blocked layout
+        # deliberately flattens the param, so the param's spec doesn't apply
+        # — shard the block axis over fsdp instead (ZeRO-style), replicate
+        # if indivisible.
+        if keys[-1] in ("q", "scale") and any(
+            keys[start:-1] in flat_params for start in range(len(keys) - 1)
+        ):
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from intact_tpu.parallel.sharding import _sanitize
+
+            return NamedSharding(mesh, _sanitize(P("fsdp"), leaf.shape, mesh))
         return replicated(mesh)
 
     opt_sh = jax.tree_util.tree_map_with_path(match, state.opt_state)

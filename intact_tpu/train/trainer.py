@@ -222,7 +222,19 @@ class Trainer:
         # (compute is bf16 anyway) and keep fp32 only on trainable leaves.
         # Halves HBM for the frozen 3B VLM in expert-only fine-tunes; this is
         # also exactly what bench.py --mode train measures.
-        if frozen_mask is not None and cfg.use_bf16:
+        if cfg.master_dtype not in ("float32", "bfloat16"):
+            raise ValueError(f"master_dtype must be float32|bfloat16, got {cfg.master_dtype!r}")
+        self.bf16_masters = cfg.master_dtype == "bfloat16" and cfg.use_bf16
+        if self.bf16_masters:
+            # reference joint-recipe precision (model.to(bf16) then
+            # AdamW8bit, trainer.py:133-140): EVERYTHING stored bf16; the
+            # train step applies updates with stochastic rounding
+            def fp_init(k):
+                return jax.tree.map(
+                    lambda x: x.astype(jnp.bfloat16),
+                    self.model.init(k, self.model_cfg),
+                )
+        elif frozen_mask is not None and cfg.use_bf16:
             fp_mask = frozen_mask
 
             def _cast(x, trainable):
@@ -277,10 +289,19 @@ class Trainer:
                 ),
             )
 
-        state = init_train_state(params, self.tx, seed=cfg.seed)
-        self.shardings = state_shardings(state, self.mesh)
-        self.state = jax.device_put(state, self.shardings)
-        del params, state
+        # shardings from shapes, then a jitted + donated state init: eager
+        # tx.init would chain per-leaf transients (fp32 zero moments,
+        # quantization indices) that OOM a 3B init on one chip
+        state_template = jax.eval_shape(
+            lambda p: init_train_state(p, self.tx, seed=cfg.seed), params
+        )
+        self.shardings = state_shardings(state_template, self.mesh)
+        self.state = jax.jit(
+            lambda p: init_train_state(p, self.tx, seed=cfg.seed),
+            out_shardings=self.shardings,
+            donate_argnums=(0,),
+        )(params)
+        del params, state_template
 
         self.batch_shard = batch_sharding(self.mesh)
 
@@ -299,7 +320,8 @@ class Trainer:
 
         self.train_step = jit_train_step(
             make_train_step(loss_fn, self.tx, self.policy, remat=cfg.remat,
-                            trainable_mask=frozen_mask),
+                            trainable_mask=frozen_mask,
+                            stochastic_rounding=self.bf16_masters),
             self.mesh, self.shardings, self.batch_shard,
         )
 
@@ -384,11 +406,24 @@ class Trainer:
     def _freeze_mask(self, params_template):
         """True = trainable. Mirrors reference freeze flags
         (trainer.py:109-123, configuration_mvla freeze_vision_encoder /
-        train_expert_only / freeze_vlm)."""
+        train_expert_only / freeze_vlm; freeze_lm_head freezes the VLM's
+        token embeddings — the lm_head itself is removed/absent in the
+        flow-matching model, reference trainer.py:110-117)."""
         cfg, mc = self.cfg, self.model_cfg
-        if not (mc.freeze_vision_encoder or cfg.freeze_vlm or mc.train_expert_only):
+        # pi0-family only, like the reference's `if model.name == "pi0"`
+        # guard: pi0fast's AR head is the (tied) embedding — freezing it
+        # there would stop its training signal
+        freeze_embed = (
+            cfg.freeze_lm_head
+            and cfg.model_type == "pi0"
+            and "vlm_embed" in params_template
+        )
+        if not (mc.freeze_vision_encoder or cfg.freeze_vlm
+                or mc.train_expert_only or freeze_embed):
             return None
         mask = jax.tree.map(lambda _: True, params_template)
+        if freeze_embed:
+            mask["vlm_embed"] = jax.tree.map(lambda _: False, mask["vlm_embed"])
         if mc.freeze_vision_encoder or mc.train_expert_only or cfg.freeze_vlm:
             if mc.freeze_vision_encoder or mc.train_expert_only:
                 mask["siglip"] = jax.tree.map(lambda _: False, mask["siglip"])

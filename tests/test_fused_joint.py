@@ -1,0 +1,196 @@
+"""Fused joint train step (train/fused_joint.py) — the hand-rolled
+reverse-scan backward with in-layer 8-bit Adam updates — pinned against
+standard autodiff + optax on the tiny pi0 config.
+
+The key gate VERDICT r3 asked for: with quantization disabled (fp32
+moments), no clipping active, and round-to-nearest updates, the fused step
+must reproduce the standard jax.grad + optax step to float tolerance —
+i.e. the manual VJP chain IS the same math, just scheduled so the full
+gradient tree never exists.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from intact_tpu.models import common as cm
+from intact_tpu.models.pi0 import model as pi0
+from intact_tpu.models.pi0.config import Pi0Config
+from intact_tpu.train.fused_joint import (
+    FusedTrainState,
+    init_fused_state,
+    make_fused_joint_step,
+)
+from intact_tpu.train.optim import OptimizerConfig, make_optimizer
+from intact_tpu.train.train_step import init_train_state, make_train_step
+
+FP32 = cm.DtypePolicy(param_dtype=jnp.float32, compute_dtype=jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return Pi0Config.tiny()
+
+
+def _batch(cfg, b=2, seed=1):
+    ks = jax.random.split(jax.random.key(seed), 5)
+    s = cfg.vision.image_size
+    lang_masks = np.zeros((b, cfg.tokenizer_max_length), bool)
+    lang_masks[:, :5] = True
+    return {
+        "images": jax.random.uniform(ks[0], (b, cfg.num_cameras, s, s, 3),
+                                     minval=-1, maxval=1),
+        "img_masks": jnp.ones((b, cfg.num_cameras), bool),
+        "lang_tokens": jax.random.randint(
+            ks[1], (b, cfg.tokenizer_max_length), 0, 256),
+        "lang_masks": jnp.asarray(lang_masks),
+        "state": jax.random.normal(ks[2], (b, cfg.max_state_dim)),
+        "actions": jax.random.normal(
+            ks[3], (b, cfg.chunk_size, cfg.max_action_dim)),
+    }
+
+
+def _trainable_mask(params):
+    mask = jax.tree.map(lambda _: True, params)
+    mask["vlm_embed"] = jax.tree.map(lambda _: False, mask["vlm_embed"])
+    return mask
+
+
+OPT = OptimizerConfig(lr=1e-3, weight_decay=1e-4, warmup_steps=2,
+                      first_cycle_steps=100, max_grad_norm=1e9)
+
+
+class TestFusedMatchesStandard:
+    def test_three_steps_match_autodiff(self, cfg):
+        params = pi0.init(jax.random.key(0), cfg)
+        mask = _trainable_mask(params)
+        batch = _batch(cfg)
+
+        # standard: jax.grad + clip + 8bit-adamw (fp32-moment path) + SR off
+        opt = dataclasses.replace(OPT, quantize_moments=True)
+        tx, _ = make_optimizer(opt, frozen_mask=mask)
+        std_state = init_train_state(params, tx, seed=7)
+        std_step = jax.jit(make_train_step(
+            lambda p, k, b: pi0.compute_loss(p, k, b, cfg, FP32),
+            tx, FP32, remat=False, trainable_mask=mask,
+            stochastic_rounding=False,
+        ))
+
+        # fused: manual reverse-scan backward, quantization disabled via a
+        # min_quant threshold above every tiny-config leaf
+        fused_step = jax.jit(make_fused_joint_step(
+            cfg, OPT, FP32, min_quant_elems=1 << 30,
+            stochastic_rounding=False, clip_mode="delayed",
+        ))
+        fused_state = init_fused_state(params, seed=7,
+                                       min_quant_elems=1 << 30)
+
+        losses_std, losses_fused = [], []
+        for _ in range(3):
+            std_state, m_std = std_step(std_state, batch)
+            fused_state, m_fused = fused_step(fused_state, batch)
+            losses_std.append(float(m_std["l2_loss"]))
+            losses_fused.append(float(m_fused["l2_loss"]))
+
+        np.testing.assert_allclose(losses_fused, losses_std, rtol=1e-5)
+        # grad norms agree (fused computes it during the reverse scan;
+        # frozen vlm_embed contributes zero in both)
+        np.testing.assert_allclose(
+            float(m_fused["grad_norm"]), float(m_std["grad_norm"]),
+            rtol=1e-4)
+
+        # Leaves with mathematically-zero gradient (attention K biases:
+        # softmax is invariant to a per-key constant) carry pure float-noise
+        # gradients which Adam normalizes into O(lr) updates — the two
+        # implementations produce DIFFERENT noise there by reassociation.
+        # Compare only leaves with a real gradient signal.
+        grads = jax.grad(
+            lambda p: pi0.compute_loss(p, jax.random.key(9), batch, cfg,
+                                       FP32)[0])(params)
+        gflat = dict(jax.tree_util.tree_flatten_with_path(grads)[0])
+        grad_scale = max(float(jnp.abs(g).max()) for g in jax.tree.leaves(grads))
+
+        flat_std = jax.tree_util.tree_flatten_with_path(std_state.params)[0]
+        flat_fused = dict(
+            jax.tree_util.tree_flatten_with_path(fused_state.params)[0])
+        gmax = max(float(jnp.abs(l).max()) for _, l in flat_std)
+        compared = 0
+        for path, leaf in flat_std:
+            if float(jnp.abs(gflat[path]).max()) < 1e-6 * grad_scale:
+                continue  # zero-gradient leaf: adam-amplified noise only
+            compared += 1
+            np.testing.assert_allclose(
+                np.asarray(flat_fused[path]), np.asarray(leaf),
+                rtol=2e-4, atol=1e-5 * gmax,
+                err_msg=jax.tree_util.keystr(path),
+            )
+        assert compared > 20  # the comparison actually covered the model
+
+    def test_frozen_embed_untouched(self, cfg):
+        params = pi0.init(jax.random.key(0), cfg)
+        fused_step = jax.jit(make_fused_joint_step(
+            cfg, OPT, FP32, min_quant_elems=1 << 30,
+            stochastic_rounding=False))
+        state = init_fused_state(params, seed=7, min_quant_elems=1 << 30)
+        state, _ = fused_step(state, _batch(cfg))
+        np.testing.assert_array_equal(
+            np.asarray(state.params["vlm_embed"]["embedding"]),
+            np.asarray(params["vlm_embed"]["embedding"]))
+        assert "vlm_embed" not in state.mu
+
+
+class TestQuantizedFused:
+    def test_quantized_step_tracks_exact(self, cfg):
+        """With int8 moments ON (tiny threshold) the trajectory stays close
+        to the exact one — same gate as test_optim8bit's parity bound."""
+        params = pi0.init(jax.random.key(0), cfg)
+        batch = _batch(cfg)
+        exact = jax.jit(make_fused_joint_step(
+            cfg, OPT, FP32, min_quant_elems=1 << 30,
+            stochastic_rounding=False))
+        quant = jax.jit(make_fused_joint_step(
+            cfg, OPT, FP32, min_quant_elems=64, block_size=256,
+            stochastic_rounding=False))
+        s_e = init_fused_state(params, seed=7, min_quant_elems=1 << 30)
+        s_q = init_fused_state(params, seed=7, min_quant_elems=64,
+                               block_size=256)
+        for _ in range(3):
+            s_e, _ = exact.__call__(s_e, batch)
+            s_q, _ = quant.__call__(s_q, batch)
+        moved = jax.tree.map(lambda a, b: np.abs(np.asarray(a - b)).mean(),
+                             s_e.params, params)
+        drift = jax.tree.map(lambda a, b: np.abs(np.asarray(a - b)).mean(),
+                             s_q.params, s_e.params)
+        total_moved = sum(jax.tree.leaves(moved))
+        total_drift = sum(jax.tree.leaves(drift))
+        assert total_moved > 0
+        assert total_drift < 0.05 * total_moved
+
+    def test_moment_state_is_int8_rows(self, cfg):
+        params = pi0.init(jax.random.key(0), cfg)
+        state = init_fused_state(params, seed=0, min_quant_elems=64,
+                                 block_size=256)
+        q = state.mu["vlm"]["blocks"]["mlp"]["gate"]["kernel"]["q"]
+        assert q.dtype == jnp.int8
+        assert q.ndim == 3  # [L, nb, block] row layout
+        assert q.shape[0] == cfg.vlm.depth
+
+
+class TestDelayedClip:
+    def test_clip_factor_uses_previous_norm(self, cfg):
+        params = pi0.init(jax.random.key(0), cfg)
+        opt = dataclasses.replace(OPT, max_grad_norm=1e-3)  # always binds
+        step = jax.jit(make_fused_joint_step(
+            cfg, opt, FP32, min_quant_elems=1 << 30,
+            stochastic_rounding=False, clip_mode="delayed"))
+        state = init_fused_state(params, seed=7, min_quant_elems=1 << 30)
+        batch = _batch(cfg)
+        state, m1 = step(state, batch)
+        assert float(m1["clip_factor"]) == 1.0  # step 1: no previous norm
+        n1 = float(m1["grad_norm"])
+        state, m2 = step(state, batch)
+        np.testing.assert_allclose(
+            float(m2["clip_factor"]), 1e-3 / n1, rtol=1e-5)

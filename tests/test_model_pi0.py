@@ -94,6 +94,51 @@ class TestForward:
             assert sum(jax.tree.leaves(jax.tree.map(float, norms[name]))) > 0, name
 
 
+class TestSuffixOnlyJoint:
+    """forward_joint(suffix_only=True) — the joint train path's last-layer
+    dead-prefix skip — must match the full joint pass in value AND grads."""
+
+    def test_value_and_grads_match_full_joint(self, cfg, params, batch):
+        x_t = jnp.asarray(np.random.default_rng(7).normal(
+            size=(2, cfg.chunk_size, cfg.max_action_dim)), jnp.float32)
+        time = jnp.asarray([0.4, 0.9], jnp.float32)
+
+        def v_via(suffix_only):
+            def fn(p):
+                pre_embs, pre_pad, pre_att = pi0.embed_prefix(
+                    p, batch["images"], batch["img_masks"],
+                    batch["lang_tokens"], batch["lang_masks"], cfg, FP32)
+                suf_embs, suf_pad, suf_att = pi0.embed_suffix(
+                    p, batch["state"], x_t, time, cfg, FP32)
+                pad = jnp.concatenate([pre_pad, suf_pad], axis=1)
+                att = jnp.concatenate([pre_att, suf_att], axis=1)
+                mask_2d = make_att_2d_masks(pad, att)
+                positions = jnp.cumsum(pad.astype(jnp.int32), axis=1) - 1
+                _, suf = gemma.forward_joint(
+                    p["vlm"], p["expert"], pre_embs, suf_embs, mask_2d,
+                    positions, cfg.vlm, cfg.expert, FP32, "xla",
+                    suffix_only=suffix_only)
+                return jnp.sum(jnp.square(suf[:, -cfg.chunk_size:]))
+            return fn
+
+        full, g_full = jax.value_and_grad(v_via(False))(params)
+        skip, g_skip = jax.value_and_grad(v_via(True))(params)
+        np.testing.assert_allclose(float(skip), float(full), rtol=1e-5)
+        flat_f = jax.tree_util.tree_flatten_with_path(g_full)[0]
+        flat_s = dict(jax.tree_util.tree_flatten_with_path(g_skip)[0])
+        # attention logits/probs are f32 by design (ops/attention.py), so
+        # the two graph shapes reassociate f32 ops: tolerance is relative
+        # to the GLOBAL gradient scale (leaves whose true grad is ~0, like
+        # attention k biases, are pure rounding noise)
+        gmax = max(float(jnp.abs(l).max()) for _, l in flat_f)
+        for path, leaf in flat_f:
+            np.testing.assert_allclose(
+                np.asarray(flat_s[path]), np.asarray(leaf),
+                rtol=2e-4, atol=1e-4 * gmax,
+                err_msg=jax.tree_util.keystr(path),
+            )
+
+
 class TestFrozenPrefixPath:
     """train_expert_only fast path (predict_velocity_frozen_prefix): no
     backward through the frozen VLM, gradients identical to the joint path

@@ -132,6 +132,68 @@ class TestCanonicalize:
         np.testing.assert_array_equal(out["observation"]["proprio"].numpy(),
                                       np.zeros((5, 1), np.float32))
 
+    def test_depth_passthrough_taco(self):
+        """Depth keys (reference depth_obs_keys, oxe_dataset_configs.py:42-):
+        a depth-bearing dataset standardizes its per-view depth to
+        depth_primary / depth_wrist; views without depth get a [T,1,1,1]
+        zeros placeholder."""
+        fn = reg.make_oxe_dataset_kwargs(
+            "taco_play", "/d",
+            load_camera_views=("primary", "secondary", "wrist"),
+            load_depth=True,
+        )["standardize_fn"]
+        n = 4
+        raw = {
+            "observation": {
+                "rgb_static": tf.zeros((n, 8, 8, 3), tf.uint8),
+                "rgb_gripper": tf.zeros((n, 8, 8, 3), tf.uint8),
+                "depth_static": tf.ones((n, 8, 8), tf.float16),
+                "depth_gripper": tf.ones((n, 8, 8), tf.float32) * 2.0,
+                "robot_obs": tf.zeros((n, 15), tf.float32),
+                "natural_language_instruction": tf.fill([n], "open drawer"),
+            },
+            "action": {"rel_actions_world": tf.zeros((n, 7), tf.float32)},
+        }
+        out = fn(raw)
+        obs = out["observation"]
+        assert obs["depth_primary"].dtype == tf.float32
+        assert obs["depth_primary"].shape == (n, 8, 8)
+        np.testing.assert_array_equal(obs["depth_primary"].numpy(),
+                                      np.ones((n, 8, 8), np.float32))
+        np.testing.assert_array_equal(obs["depth_wrist"].numpy(),
+                                      2 * np.ones((n, 8, 8), np.float32))
+        # no secondary depth in taco_play -> zeros placeholder
+        np.testing.assert_array_equal(
+            obs["depth_secondary"].numpy(), np.zeros((n, 1, 1, 1), np.float32))
+
+    def test_depth_off_by_default_and_bridge_unaffected(self):
+        fn = reg.make_oxe_dataset_kwargs("bridge_dataset", "/d")["standardize_fn"]
+        n = 5
+        raw = {
+            "observation": {
+                "image_0": tf.zeros((n, 8, 8, 3), tf.uint8),
+                "state": tf.zeros((n, 7), tf.float32),
+            },
+            "action": tf.zeros((n, 7), tf.float32),
+            "language_instruction": tf.fill([n], "put carrot on plate"),
+        }
+        out = fn(raw)
+        assert not any(k.startswith("depth") for k in out["observation"])
+        # reference registry: bridge/fractal carry no depth keys either
+        assert reg.OXE_DATASET_CONFIGS["bridge_dataset"]["depth_keys"] == {
+            "primary": None, "secondary": None, "wrist": None}
+        # the 9 depth-bearing reference datasets all carry depth keys here
+        for name in [
+            "taco_play", "taco_play_libero", "berkeley_autolab_ur5",
+            "stanford_kuka_multimodal_dataset_converted_externally_to_rlds",
+            "nyu_franka_play_dataset_converted_externally_to_rlds",
+            "maniskill_dataset_converted_externally_to_rlds",
+            "stanford_robocook_converted_externally_to_rlds",
+            "uiuc_d3field", "fmb_dataset",
+        ]:
+            dk = reg.OXE_DATASET_CONFIGS[name]["depth_keys"]
+            assert dk["primary"] is not None, name
+
     def test_unknown_view_name_raises(self):
         with pytest.raises(ValueError, match="unknown camera views"):
             reg.make_oxe_dataset_kwargs("dobbe", "/d", load_camera_views=("overhead",))

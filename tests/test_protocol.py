@@ -88,21 +88,28 @@ class TestWebsocketTransport:
         port_holder = {}
         started = threading.Event()
 
+        stop_holder = {}
+
         async def _run():
             import websockets.asyncio.server
 
+            stop_holder["stop"] = asyncio.Event()
             async with websockets.asyncio.server.serve(
                 server._handler, "127.0.0.1", 0, compression=None, max_size=None
             ) as ws_server:
                 port_holder["port"] = ws_server.sockets[0].getsockname()[1]
                 started.set()
-                await asyncio.Event().wait()  # run until loop is stopped
+                # exit through the context manager (never loop.stop(): that
+                # abandons websockets' Server._close coroutine unawaited)
+                await stop_holder["stop"].wait()
 
         def _thread():
             try:
                 loop.run_until_complete(_run())
             except Exception:
                 pass
+            finally:
+                loop.close()
 
         t = threading.Thread(target=_thread, daemon=True)
         t.start()
@@ -111,17 +118,24 @@ class TestWebsocketTransport:
             "127.0.0.1", port_holder["port"], retry_interval_s=0.1
         )
         yield policy, client
-        # Teardown must never hang: kill the server loop first so the client
-        # close handshake cannot block on a live-but-silent peer.
-        try:
-            loop.call_soon_threadsafe(loop.stop)
-        except RuntimeError:
-            pass
+        # Teardown must never hang: abortively close the client FIRST (so the
+        # server's close handshake sees a dead TCP peer, not a silent one),
+        # then signal a clean exit through the async-with.
         try:
             client._ws.close_socket()  # abortive close, skips handshake
         except Exception:
             pass
+        try:
+            loop.call_soon_threadsafe(stop_holder["stop"].set)
+        except RuntimeError:
+            pass
         t.join(timeout=5)
+        if t.is_alive():  # last resort: hard-stop the loop
+            try:
+                loop.call_soon_threadsafe(loop.stop)
+            except RuntimeError:
+                pass
+            t.join(timeout=5)
 
     def test_metadata_infer_reset_switch(self, server_client):
         policy, client = server_client
