@@ -208,6 +208,13 @@ class TrainPipelineConfig:
     # correctly in expectation (strictly better than the reference's
     # round-to-nearest — see train/optim8bit.apply_updates_stochastic).
     master_dtype: str = "float32"
+    # Fused backward+optimizer (train/fused_joint.py): REQUIRED to run the
+    # full-tower joint recipe on a single 16 GB chip (params + moments +
+    # the full gradient tree cannot coexist; the fused reverse scan updates
+    # each layer in place so the gradient tree never exists). pi0-family
+    # joint recipes only; incompatible with gradient accumulation; uses
+    # one-step-DELAYED global-norm clipping (module docstring).
+    fused_update: bool = False
     # Expert-only fine-tunes: store the frozen tower's block kernels int8
     # (W8A8 forward on the int8 MXU, ~2x bf16 prefill). Only valid where no
     # gradient flows through the tower (pi0 + train_expert_only; the

@@ -71,6 +71,31 @@ class FusedTrainState:
     rng: Any
 
 
+def to_train_state(fs: "FusedTrainState"):
+    """FusedTrainState -> TrainState view (same arrays, no copies) so the
+    trainer's checkpoint/restore machinery (train/checkpoint.py operates on
+    params/opt_state/step) works unchanged for fused runs."""
+    from intact_tpu.train.train_step import TrainState
+
+    return TrainState(
+        params=fs.params,
+        opt_state={"mu": fs.mu, "nu": fs.nu, "prev_gnorm": fs.prev_gnorm},
+        step=fs.count,
+        rng=fs.rng,
+    )
+
+
+def from_train_state(ts) -> "FusedTrainState":
+    return FusedTrainState(
+        params=ts.params,
+        mu=ts.opt_state["mu"],
+        nu=ts.opt_state["nu"],
+        count=ts.step,
+        prev_gnorm=ts.opt_state["prev_gnorm"],
+        rng=ts.rng,
+    )
+
+
 def _is_quant_leaf(x) -> bool:
     """Quantized-moment sentinel: EXACTLY {"q","scale"} — attention param
     dicts contain a key literally named "q" ({q,k,v,o}), so a mere
@@ -242,42 +267,60 @@ def layer_row_update(p_row, g_row, mu_s, nu_s, layer, *, c1, c2, lr,
                      clip_factor, hp, key, stochastic, block_size):
     """One LAYER ROW of a trunk-stacked leaf, moments in the [L, nb, block]
     row layout; reads and writes only row `layer` (in place under the scan
-    carry). Returns (p_row_new, mu_row_new or None, nu_row_new, ss)."""
+    carry). Returns (p_row_new, mu_row_new or None, nu_row_new, ss).
+
+    Quantized rows run CHUNKED under lax.map like leaf_update: a 33.5M-elem
+    mlp row decodes to 3x128 MB fp32 temporaries unchunked (measured: the
+    last ~0.4 GB past HBM)."""
     g = g_row.astype(jnp.float32)
     ss = jnp.sum(jnp.square(g))
-    g = g * clip_factor
     quant = isinstance(mu_s, dict)
-    if quant:
-        code_s = jnp.asarray(q8._CODE_SIGNED)
-        code_u = jnp.asarray(q8._CODE_UNSIGNED)
-        qm, sm = mu_s["q"][layer], mu_s["scale"][layer]  # [nb, block], [nb,1]
-        qn, sn = nu_s["q"][layer], nu_s["scale"][layer]
-        mu = (code_s[qm.astype(jnp.int32) + 128] * sm).reshape(g.shape)
-        nu = (code_u[qn.astype(jnp.int32) + 128] * sn).reshape(g.shape)
-    else:
+    if not quant:
+        geff = g * clip_factor
         mu, nu = mu_s[layer], nu_s[layer]
-    mu, nu, direction = _adam_math(g, mu, nu, c1, c2, hp)
-    upd = -lr * (direction + hp.weight_decay * p_row.astype(jnp.float32))
-    p_new = _sr_add(p_row, upd, key, stochastic)
-    if quant:
-        bounds_s = jnp.asarray(q8._BOUND_SIGNED)
-        bounds_u = jnp.asarray(q8._BOUND_UNSIGNED)
+        mu, nu, direction = _adam_math(geff, mu, nu, c1, c2, hp)
+        upd = -lr * (direction + hp.weight_decay * p_row.astype(jnp.float32))
+        return _sr_add(p_row, upd, key, stochastic), (mu,), (nu,), ss
+
+    nb = mu_s["q"].shape[1]  # rows per layer; exact (trunk leaves divide)
+    rows_c = 2048 if nb > 2048 and nb % 2048 == 0 else nb
+    n_chunks = nb // rows_c
+    code_s = jnp.asarray(q8._CODE_SIGNED)
+    code_u = jnp.asarray(q8._CODE_UNSIGNED)
+    bounds_s = jnp.asarray(q8._BOUND_SIGNED)
+    bounds_u = jnp.asarray(q8._BOUND_UNSIGNED)
+
+    g_c = g_row.reshape(n_chunks, rows_c, block_size)
+    p_c = p_row.reshape(n_chunks, rows_c, block_size)
+    qm = mu_s["q"][layer].reshape(n_chunks, rows_c, block_size)
+    sm = mu_s["scale"][layer].reshape(n_chunks, rows_c, 1)
+    qn = nu_s["q"][layer].reshape(n_chunks, rows_c, block_size)
+    sn = nu_s["scale"][layer].reshape(n_chunks, rows_c, 1)
+
+    def chunk_body(xs):
+        gc, pc, qmc, smc, qnc, snc, idx = xs
+        gc = gc.astype(jnp.float32) * clip_factor
+        mu = code_s[qmc.astype(jnp.int32) + 128] * smc
+        nu = code_u[qnc.astype(jnp.int32) + 128] * snc
+        mu, nu, direction = _adam_math(gc, mu, nu, c1, c2, hp)
+        upd = -lr * (direction + hp.weight_decay * pc.astype(jnp.float32))
+        pc_new = _sr_add(pc, upd, jax.random.fold_in(key, idx), stochastic)
 
         def enc(x, bounds):
-            blocks = x.reshape(-1, block_size)
-            scale = jnp.max(jnp.abs(blocks), axis=1, keepdims=True)
-            u = blocks / jnp.maximum(scale, jnp.finfo(jnp.float32).tiny)
+            scale = jnp.max(jnp.abs(x), axis=1, keepdims=True)
+            u = x / jnp.maximum(scale, jnp.finfo(jnp.float32).tiny)
             qi = jnp.searchsorted(bounds, u)
             return (qi.astype(jnp.int32) - 128).astype(jnp.int8), scale
 
         qm2, sm2 = enc(mu, bounds_s)
         qn2, sn2 = enc(nu, bounds_u)
-        mu_new = (qm2, sm2)
-        nu_new = (qn2, sn2)
-    else:
-        mu_new = nu_new = None  # caller writes mu_s.at[layer].set(mu)
-        mu_new = (mu,)
-        nu_new = (nu,)
+        return pc_new, qm2, sm2, qn2, sn2
+
+    p_new, qm2, sm2, qn2, sn2 = jax.lax.map(
+        chunk_body, (g_c, p_c, qm, sm, qn, sn, jnp.arange(n_chunks)))
+    p_new = p_new.reshape(p_row.shape).astype(p_row.dtype)
+    mu_new = (qm2.reshape(nb, block_size), sm2.reshape(nb, 1))
+    nu_new = (qn2.reshape(nb, block_size), sn2.reshape(nb, 1))
     return p_new, mu_new, nu_new, ss
 
 

@@ -195,7 +195,11 @@ def state_shardings(state: TrainState, mesh, rules=None):
 
             from intact_tpu.parallel.sharding import _sanitize
 
-            return NamedSharding(mesh, _sanitize(P("fsdp"), leaf.shape, mesh))
+            # flat layout [nb, block] shards the block axis; the fused
+            # trunk layout [L, nb, block] keeps the layer axis whole and
+            # shards nb (ZeRO-style either way)
+            spec = P("fsdp") if leaf.ndim <= 2 else P(None, "fsdp")
+            return NamedSharding(mesh, _sanitize(spec, leaf.shape, mesh))
         return replicated(mesh)
 
     opt_sh = jax.tree_util.tree_map_with_path(match, state.opt_state)

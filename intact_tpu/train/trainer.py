@@ -289,19 +289,59 @@ class Trainer:
                 ),
             )
 
-        # shardings from shapes, then a jitted + donated state init: eager
-        # tx.init would chain per-leaf transients (fp32 zero moments,
-        # quantization indices) that OOM a 3B init on one chip
-        state_template = jax.eval_shape(
-            lambda p: init_train_state(p, self.tx, seed=cfg.seed), params
-        )
-        self.shardings = state_shardings(state_template, self.mesh)
-        self.state = jax.jit(
-            lambda p: init_train_state(p, self.tx, seed=cfg.seed),
-            out_shardings=self.shardings,
-            donate_argnums=(0,),
-        )(params)
-        del params, state_template
+        if cfg.fused_update:
+            # fused backward+optimizer (train/fused_joint.py): the only way
+            # the full-tower joint recipe fits a single 16 GB chip. The
+            # FusedTrainState is carried as a TrainState VIEW so the
+            # checkpoint/validate/log machinery is unchanged.
+            from intact_tpu.train import fused_joint as fj
+
+            if cfg.model_type != "pi0" or getattr(
+                    self.model_cfg, "train_expert_only", False):
+                raise ValueError(
+                    "fused_update is the pi0 joint-recipe step (full-tower "
+                    "gradients); use the standard path for expert-only or "
+                    "other families")
+            if cfg.quantize_frozen_int8:
+                raise ValueError("fused_update trains the tower; "
+                                 "quantize_frozen_int8 is unsound with it")
+            if cfg.freeze_vlm or self.model_cfg.freeze_vision_encoder:
+                raise ValueError(
+                    "fused_update implements the joint recipe's freeze set "
+                    "(embedding only); freeze_vlm/freeze_vision_encoder "
+                    "need the standard path")
+            if accum > 1:
+                raise ValueError(
+                    "fused_update applies each layer's update inside the "
+                    "backward — gradient accumulation would need the full "
+                    "gradient tree the mode exists to avoid. Reach the "
+                    "global batch with data-parallel chips "
+                    f"(global_batch_size={cfg.global_batch_size} needs "
+                    f"accumulation {accum} at this mesh/micro-batch).")
+
+            def fused_init(p):
+                return fj.to_train_state(fj.init_fused_state(p, cfg.seed))
+
+            state_template = jax.eval_shape(fused_init, params)
+            self.shardings = state_shardings(state_template, self.mesh)
+            self.state = jax.jit(
+                fused_init, out_shardings=self.shardings, donate_argnums=(0,)
+            )(params)
+            del params, state_template
+        else:
+            # shardings from shapes, then a jitted + donated state init:
+            # eager tx.init would chain per-leaf transients (fp32 zero
+            # moments, quantization indices) that OOM a 3B init on one chip
+            state_template = jax.eval_shape(
+                lambda p: init_train_state(p, self.tx, seed=cfg.seed), params
+            )
+            self.shardings = state_shardings(state_template, self.mesh)
+            self.state = jax.jit(
+                lambda p: init_train_state(p, self.tx, seed=cfg.seed),
+                out_shardings=self.shardings,
+                donate_argnums=(0,),
+            )(params)
+            del params, state_template
 
         self.batch_shard = batch_sharding(self.mesh)
 
@@ -318,12 +358,28 @@ class Trainer:
                 "(~2x step time) — set remat: false unless memory-bound"
             )
 
-        self.train_step = jit_train_step(
-            make_train_step(loss_fn, self.tx, self.policy, remat=cfg.remat,
-                            trainable_mask=frozen_mask,
-                            stochastic_rounding=self.bf16_masters),
-            self.mesh, self.shardings, self.batch_shard,
-        )
+        if cfg.fused_update:
+            from intact_tpu.train import fused_joint as fj
+
+            fused_step = fj.make_fused_joint_step(
+                self.model_cfg, self.opt_cfg, self.policy,
+                stochastic_rounding=self.bf16_masters,
+            )
+
+            def ts_step(ts, batch):
+                fs, metrics = fused_step(fj.from_train_state(ts), batch)
+                return fj.to_train_state(fs), metrics
+
+            self.train_step = jit_train_step(
+                ts_step, self.mesh, self.shardings, self.batch_shard)
+        else:
+            self.train_step = jit_train_step(
+                make_train_step(loss_fn, self.tx, self.policy,
+                                remat=cfg.remat,
+                                trainable_mask=frozen_mask,
+                                stochastic_rounding=self.bf16_masters),
+                self.mesh, self.shardings, self.batch_shard,
+            )
 
         def sample_fn(p, key, batch):
             return self.model.sample_actions(
