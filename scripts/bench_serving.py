@@ -45,6 +45,10 @@ def main() -> int:
                     default="pi0",
                     help="model family; every family serves through the same "
                          "continuous-batching server via its infer_batch fuse")
+    ap.add_argument("--profile-host", action="store_true",
+                    help="per-stage host-time budget: wraps preprocess / "
+                         "fuse / device call / msgpack with accumulating "
+                         "timers and prints seconds + share of wall")
     args = ap.parse_args()
 
     import jax
@@ -116,6 +120,36 @@ def main() -> int:
 
     t0 = time.time()
     wrapper = make_policy_wrapper(cfg)
+
+    prof_acc: dict[str, float] = {}
+    prof_cnt: dict[str, int] = {}
+    if args.profile_host:
+        # thin accumulating timers around the serving hot path — the
+        # host-time budget VERDICT r3 task 4 asked for. GIL note: stages
+        # run on different threads of ONE process, so shares can overlap;
+        # they are read as "seconds of work attributed to stage X", not
+        # disjoint wall segments.
+        def wrap(obj, name, key):
+            orig = getattr(obj, name)
+
+            def timed(*a, **k):
+                t = time.perf_counter()
+                r = orig(*a, **k)
+                prof_acc[key] = prof_acc.get(key, 0.0) + (time.perf_counter() - t)
+                prof_cnt[key] = prof_cnt.get(key, 0) + 1
+                return r
+
+            setattr(obj, name, timed)
+
+        wrap(wrapper.session_cls, "preprocess", "preprocess(adapter)")
+        wrap(wrapper, "_infer_fused", "infer_fused(total)")
+        if hasattr(wrapper, "policy") and hasattr(
+                wrapper.policy, "sample_action_chunk"):
+            wrap(wrapper.policy, "sample_action_chunk", "device(sample)")
+        from intact_tpu.protocol import msgpack_numpy as _mn
+
+        wrap(_mn, "unpackb", "msgpack.unpack(client+server)")
+
     server = BatchingPolicyServer(
         wrapper, cfg, host="127.0.0.1", port=args.port,
         metadata={"model": args.model}, max_batch_size=args.max_batch,
@@ -158,6 +192,8 @@ def main() -> int:
         t.start()
     ready.wait()  # all clients connected and server compiled
     print("# clients connected; measuring...", file=sys.stderr)
+    prof_acc.clear()  # drop prewarm-compile time from the budget
+    prof_cnt.clear()
     t_start = time.time()
     time.sleep(args.seconds)
     stop.set()
@@ -178,6 +214,20 @@ def main() -> int:
         f"client p50 {p50*1e3:.0f} ms p95 {p95*1e3:.0f} ms",
         file=sys.stderr,
     )
+    if args.profile_host and prof_acc:
+        dev = prof_acc.get("device(sample)", 0.0)
+        fuse = prof_acc.get("infer_fused(total)", 0.0)
+        if dev and fuse:
+            prof_acc["fuse-assembly+postprocess(host)"] = fuse - dev
+            prof_cnt["fuse-assembly+postprocess(host)"] = prof_cnt[
+                "infer_fused(total)"]
+        print("# host-time budget (seconds of attributed work over "
+              f"{wall:.1f}s wall; threads overlap):", file=sys.stderr)
+        for k in sorted(prof_acc, key=prof_acc.get, reverse=True):
+            per = prof_acc[k] / max(prof_cnt[k], 1) * 1e3
+            print(f"#   {k:34s} {prof_acc[k]:7.2f}s ({prof_acc[k] / wall:6.1%}"
+                  f" of wall) {prof_cnt[k]:6d} calls  {per:7.2f} ms/call",
+                  file=sys.stderr)
     print(json.dumps({
         "metric": f"{args.model}_serving_aggregate_policy_steps_per_sec_per_chip",
         "value": round(steps_per_sec, 2),
