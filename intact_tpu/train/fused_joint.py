@@ -22,6 +22,13 @@ Per-layer rematerialization is inherent: the body recomputes the layer
 forward from the saved layer-input carries via `jax.vjp` (same recompute
 a `jax.checkpoint` scan body does).
 
+PACKED TRUNK MOMENTS: each trunk tree's (vlm / expert blocks) moments are
+ONE int8 array `q[L, NB, block]` + `scale[L, NB, 1]`, with every leaf's
+layer-row flattened into a fixed row range (`TrunkPack`). The per-layer
+update is then a single chunked decode→adam→encode `lax.map` per tree —
+a per-leaf formulation (9 maps × 4 encodes per tree per layer) produced
+an HLO large enough to crash the TPU compile worker.
+
 SEMANTIC DELTA, STATED LOUDLY: global-gradient-norm clipping needs the
 full norm BEFORE the first update, but the fused step updates layer L-1
 before layer 0's gradient exists. It therefore clips with the PREVIOUS
@@ -32,8 +39,7 @@ observable. Gradient norms move slowly relative to one step; for exact
 reference clipping semantics use the standard (unfused) step on hardware
 with the memory for it (e.g. ≥2-chip FSDP). tests/test_fused_joint.py
 pins the fused step == standard autodiff step to float tolerance when
-clipping is inactive, and the delayed-clip trajectory against the exact
-one.
+clipping is inactive.
 
 Scope: pi0-family joint recipe (the only full-tower recipe the reference
 has). Frozen set is exactly {vlm_embed}.
@@ -103,61 +109,101 @@ def _is_quant_leaf(x) -> bool:
     return isinstance(x, dict) and set(x.keys()) == {"q", "scale"}
 
 
-def _trunk_layout(p, block_size: int, min_quant: int):
-    """Trunk-stacked leaves [L, ...] -> per-layer-row quantized layout
-    {"q": [L, nb, block], "scale": [L, nb, 1]} so the reverse scan can
-    read/write one layer's rows in place. Returns None if the leaf should
-    keep fp32 moments (too small / not block-divisible)."""
-    if p.ndim < 2 or p.size < min_quant:
-        return None
-    n_l = int(np.prod(p.shape[1:]))
-    if n_l % block_size:
-        return None
-    return (p.shape[0], n_l // block_size)
+class TrunkPack:
+    """Fixed flat row layout for one trunk block tree's per-layer values.
+
+    Every leaf [L, *dims] contributes ceil(prod(dims)/block) rows of the
+    packed [NB, block] layer-row matrix, in tree_flatten order, zero-padded
+    to its row boundary. pack/unpack are pure reshapes+concat — the moment
+    state and the per-layer optimizer update then treat a whole layer as
+    ONE flat array."""
+
+    def __init__(self, template, block_size: int):
+        self.block = block_size
+        leaves, self.treedef = jax.tree_util.tree_flatten(template)
+        self.shapes = [tuple(l.shape[1:]) for l in leaves]  # per-layer dims
+        self.sizes = [int(np.prod(s)) for s in self.shapes]
+        self.rows = [-(-n // block_size) for n in self.sizes]
+        self.offsets = np.concatenate([[0], np.cumsum(self.rows)]).tolist()
+        self.nb = int(self.offsets[-1])
+
+    def pack(self, tree_rows, dtype=jnp.float32) -> jnp.ndarray:
+        """Tree of per-layer leaf values -> [NB, block]."""
+        flats = []
+        for leaf, n, r in zip(jax.tree_util.tree_leaves(tree_rows),
+                              self.sizes, self.rows):
+            x = leaf.reshape(-1).astype(dtype)
+            x = jnp.pad(x, (0, r * self.block - n))
+            flats.append(x.reshape(r, self.block))
+        return jnp.concatenate(flats)
+
+    def unpack(self, flat: jnp.ndarray):
+        """[NB, block] -> tree of per-layer leaf values (fp32)."""
+        out = []
+        for shape, n, r, off in zip(self.shapes, self.sizes, self.rows,
+                                    self.offsets):
+            x = flat[off:off + r].reshape(-1)[:n].reshape(shape)
+            out.append(x)
+        return jax.tree_util.tree_unflatten(self.treedef, out)
 
 
-def _init_moment_tree(params, trunk_names, block_size, min_quant, zero_idx_s,
-                      zero_idx_u, signed):
-    zero_idx = zero_idx_s if signed else zero_idx_u
+# ---------------------------------------------------------------------------
+# moment init
+# ---------------------------------------------------------------------------
 
-    def init_leaf(path_is_trunk, p):
-        if path_is_trunk:
-            layout = _trunk_layout(p, block_size, min_quant)
-            if layout is not None:
-                L, nb = layout
-                return {
-                    "q": jnp.full((L, nb, block_size), zero_idx, jnp.int8),
-                    "scale": jnp.zeros((L, nb, 1), jnp.float32),
-                }
-            return jnp.zeros(p.shape, jnp.float32)
-        if p.size >= min_quant:
-            nb = -(-p.size // block_size)
-            return {
-                "q": jnp.full((nb, block_size), zero_idx, jnp.int8),
-                "scale": jnp.zeros((nb, 1), jnp.float32),
-            }
-        return jnp.zeros(p.shape, jnp.float32)
-
-    out = {}
-    for name, sub in params.items():
-        if name == "vlm_embed":
-            continue  # frozen: no optimizer state at all
-        is_trunk = name in trunk_names
-        out[name] = jax.tree.map(lambda p: init_leaf(is_trunk, p), sub)
-    return out
+def _flat_quant_zero(nb: int, block_size: int, zero_idx: int) -> dict:
+    return {
+        "q": jnp.full((nb, block_size), zero_idx, jnp.int8),
+        "scale": jnp.zeros((nb, 1), jnp.float32),
+    }
 
 
 def init_fused_state(params, seed: int, block_size: int = 2048,
                      min_quant_elems: int = 65536) -> FusedTrainState:
     zs = q8.zero_index(signed=True)
     zu = q8.zero_index(signed=False)
-    trunk = ("vlm", "expert")
+
+    def moment_tree(signed: bool):
+        zidx = zs if signed else zu
+        out = {}
+        for name, sub in params.items():
+            if name == "vlm_embed":
+                continue  # frozen: no optimizer state at all
+            if name in ("vlm", "expert"):
+                pack = TrunkPack(sub["blocks"], block_size)
+                L = jax.tree_util.tree_leaves(sub["blocks"])[0].shape[0]
+                # below min_quant_elems per layer (tiny/test configs) the
+                # packed moments stay EXACT fp32 — same {"q","scale"}
+                # structure, dtype carries the mode (f32 "q" = raw moment,
+                # scale unused)
+                if pack.nb * block_size >= min_quant_elems:
+                    q0 = jnp.full((L, pack.nb, block_size), zidx, jnp.int8)
+                else:
+                    q0 = jnp.zeros((L, pack.nb, block_size), jnp.float32)
+                out[name] = {
+                    "blocks": {
+                        "q": q0,
+                        "scale": jnp.zeros((L, pack.nb, 1), jnp.float32),
+                    },
+                    "final_norm": jax.tree.map(
+                        lambda p: jnp.zeros(p.shape, jnp.float32),
+                        sub["final_norm"]),
+                }
+                continue
+
+            def leaf(p):
+                if p.size >= min_quant_elems:
+                    return _flat_quant_zero(-(-p.size // block_size),
+                                            block_size, zidx)
+                return jnp.zeros(p.shape, jnp.float32)
+
+            out[name] = jax.tree.map(leaf, sub)
+        return out
+
     return FusedTrainState(
         params=params,
-        mu=_init_moment_tree(params, trunk, block_size, min_quant_elems,
-                             zs, zu, signed=True),
-        nu=_init_moment_tree(params, trunk, block_size, min_quant_elems,
-                             zs, zu, signed=False),
+        mu=moment_tree(signed=True),
+        nu=moment_tree(signed=False),
         count=jnp.zeros((), jnp.int32),
         prev_gnorm=jnp.zeros((), jnp.float32),
         rng=jax.random.key(seed),
@@ -165,7 +211,7 @@ def init_fused_state(params, seed: int, block_size: int = 2048,
 
 
 # ---------------------------------------------------------------------------
-# the leaf update (decode -> adam -> encode, plus stochastic rounding)
+# the chunked decode -> adam -> encode core
 # ---------------------------------------------------------------------------
 
 def _sr_add(p, upd_f32, key, stochastic: bool):
@@ -185,143 +231,97 @@ def _adam_math(g, mu, nu, c1, c2, hp):
     return mu, nu, direction
 
 
+def _chunked_quant_update(p2, g2, qm, sm, qn, sn, *, c1, c2, lr, clip_factor,
+                          hp, key, stochastic, block_size,
+                          rows_chunk: int = 2048):
+    """Core blocked update on flat [NB, block] views.
+
+    p2/g2: [NB, block] (padding rows are zeros); qm/sm/qn/sn: moment rows.
+    Chunked under ONE lax.map so fp32 decode/searchsorted temporaries stay
+    ~rows_chunk*block*4 bytes (a whole-leaf formulation materialized GBs).
+    Returns (p2_new, qm', sm', qn', sn').
+    """
+    nb = p2.shape[0]
+    rows_c = rows_chunk if nb > rows_chunk else nb
+    nb_pad = -(-nb // rows_c) * rows_c
+    n_chunks = nb_pad // rows_c
+
+    def pad_rows(a):
+        return jnp.pad(a, ((0, nb_pad - nb),) + ((0, 0),) * (a.ndim - 1))
+
+    g_c = pad_rows(g2).reshape(n_chunks, rows_c, block_size)
+    p_c = pad_rows(p2).reshape(n_chunks, rows_c, block_size)
+    qm_c = pad_rows(qm).reshape(n_chunks, rows_c, block_size)
+    sm_c = pad_rows(sm).reshape(n_chunks, rows_c, 1)
+    qn_c = pad_rows(qn).reshape(n_chunks, rows_c, block_size)
+    sn_c = pad_rows(sn).reshape(n_chunks, rows_c, 1)
+    code_s = jnp.asarray(q8._CODE_SIGNED)
+    code_u = jnp.asarray(q8._CODE_UNSIGNED)
+    bounds_s = jnp.asarray(q8._BOUND_SIGNED)
+    bounds_u = jnp.asarray(q8._BOUND_UNSIGNED)
+
+    quantized = qm.dtype == jnp.int8  # f32 "q" = exact packed moments
+
+    def chunk_body(xs):
+        gc, pc, qmc, smc, qnc, snc, idx = xs
+        gc = gc.astype(jnp.float32) * clip_factor
+        if quantized:
+            mu = code_s[qmc.astype(jnp.int32) + 128] * smc
+            nu = code_u[qnc.astype(jnp.int32) + 128] * snc
+        else:
+            mu, nu = qmc, qnc
+        mu, nu, direction = _adam_math(gc, mu, nu, c1, c2, hp)
+        upd = -lr * (direction + hp.weight_decay * pc.astype(jnp.float32))
+        pc_new = _sr_add(pc, upd, jax.random.fold_in(key, idx), stochastic)
+        if not quantized:
+            return pc_new, mu, smc, nu, snc
+
+        def enc(x, bounds):
+            scale = jnp.max(jnp.abs(x), axis=1, keepdims=True)
+            u = x / jnp.maximum(scale, jnp.finfo(jnp.float32).tiny)
+            qi = jnp.searchsorted(bounds, u)
+            return (qi.astype(jnp.int32) - 128).astype(jnp.int8), scale
+
+        qm2, sm2 = enc(mu, bounds_s)
+        qn2, sn2 = enc(nu, bounds_u)
+        return pc_new, qm2, sm2, qn2, sn2
+
+    p_new, qm2, sm2, qn2, sn2 = jax.lax.map(
+        chunk_body, (g_c, p_c, qm_c, sm_c, qn_c, sn_c, jnp.arange(n_chunks)))
+
+    def unpad(a, width):
+        return a.reshape(nb_pad, width)[:nb]
+
+    return (unpad(p_new, block_size), unpad(qm2, block_size), unpad(sm2, 1),
+            unpad(qn2, block_size), unpad(sn2, 1))
+
+
 def leaf_update(p, g, mu_s, nu_s, *, c1, c2, lr, clip_factor, hp,
                 key, stochastic, block_size):
-    """One parameter leaf: returns (p_new, mu_s_new, nu_s_new, ss).
-
-    ss = sum of squared RAW gradients (fp32-accumulated) for the global
-    norm metric. Clipping scales g by clip_factor before the moments, the
-    exact analogue of optax clip-then-adam.
-    mu_s/nu_s are either fp32 arrays (exact) or {"q","scale"} dicts in the
-    FLAT padded layout (q8._encode).
-
-    Quantized leaves run CHUNKED under lax.map: a 134M-element SigLIP
-    kernel would otherwise materialize ~2 GB of fp32/s32 decode +
-    searchsorted temporaries at once (measured: pushed the joint step 1.9 GB
-    past HBM); chunking bounds the temporaries to ~tens of MB while the
-    decode->adam->encode math is unchanged."""
+    """One non-trunk parameter leaf: (p', mu', nu', ss). ss = sum of squared
+    RAW gradients (fp32) for the exact global-norm metric; clipping scales g
+    by clip_factor before the moments (optax clip-then-adam order)."""
     g32 = g.astype(jnp.float32)
     ss = jnp.sum(jnp.square(g32))
-    quant = isinstance(mu_s, dict)
-    if not quant:
+    if not _is_quant_leaf(mu_s):
         geff = g32 * clip_factor
         mu, nu, direction = _adam_math(geff, mu_s, nu_s, c1, c2, hp)
         upd = -lr * (direction + hp.weight_decay * p.astype(jnp.float32))
         return _sr_add(p, upd, key, stochastic), mu, nu, ss
 
     n = p.size
-    nb = -(-n // block_size)  # state layout rows (q8._encode convention)
-    rows_c = 4096 if nb > 4096 else nb
-    nb_pad = -(-nb // rows_c) * rows_c
-    n_chunks = nb_pad // rows_c
+    nb = mu_s["q"].shape[0]
 
-    def pad_rows(a, fill=0):
-        return jnp.pad(a, ((0, nb_pad - nb),) + ((0, 0),) * (a.ndim - 1),
-                       constant_values=fill)
+    def to_rows(x):
+        flat = jnp.pad(x.reshape(-1), (0, nb * block_size - n))
+        return flat.reshape(nb, block_size)
 
-    def to_chunks(flat_vals, dtype):
-        flat_vals = jnp.pad(flat_vals.reshape(-1), (0, nb * block_size - n))
-        return pad_rows(flat_vals.reshape(nb, block_size)).astype(dtype)
-
-    g_c = to_chunks(g, g.dtype).reshape(n_chunks, rows_c, block_size)
-    p_c = to_chunks(p, p.dtype).reshape(n_chunks, rows_c, block_size)
-    qm = pad_rows(mu_s["q"]).reshape(n_chunks, rows_c, block_size)
-    sm = pad_rows(mu_s["scale"]).reshape(n_chunks, rows_c, 1)
-    qn = pad_rows(nu_s["q"]).reshape(n_chunks, rows_c, block_size)
-    sn = pad_rows(nu_s["scale"]).reshape(n_chunks, rows_c, 1)
-    code_s = jnp.asarray(q8._CODE_SIGNED)
-    code_u = jnp.asarray(q8._CODE_UNSIGNED)
-    bounds_s = jnp.asarray(q8._BOUND_SIGNED)
-    bounds_u = jnp.asarray(q8._BOUND_UNSIGNED)
-
-    def chunk_body(xs):
-        gc, pc, qmc, smc, qnc, snc, idx = xs
-        gc = gc.astype(jnp.float32) * clip_factor
-        mu = code_s[qmc.astype(jnp.int32) + 128] * smc
-        nu = code_u[qnc.astype(jnp.int32) + 128] * snc
-        mu, nu, direction = _adam_math(gc, mu, nu, c1, c2, hp)
-        upd = -lr * (direction + hp.weight_decay * pc.astype(jnp.float32))
-        pc_new = _sr_add(pc, upd, jax.random.fold_in(key, idx), stochastic)
-
-        def enc(x, bounds):
-            scale = jnp.max(jnp.abs(x), axis=1, keepdims=True)
-            u = x / jnp.maximum(scale, jnp.finfo(jnp.float32).tiny)
-            qi = jnp.searchsorted(bounds, u)
-            return (qi.astype(jnp.int32) - 128).astype(jnp.int8), scale
-
-        qm2, sm2 = enc(mu, bounds_s)
-        qn2, sn2 = enc(nu, bounds_u)
-        return pc_new, qm2, sm2, qn2, sn2
-
-    p_new, qm2, sm2, qn2, sn2 = jax.lax.map(
-        chunk_body, (g_c, p_c, qm, sm, qn, sn, jnp.arange(n_chunks)))
-    p_new = p_new.reshape(-1)[:n].reshape(p.shape).astype(p.dtype)
-    mu_s = {"q": qm2.reshape(nb_pad, block_size)[:nb],
-            "scale": sm2.reshape(nb_pad, 1)[:nb]}
-    nu_s = {"q": qn2.reshape(nb_pad, block_size)[:nb],
-            "scale": sn2.reshape(nb_pad, 1)[:nb]}
-    return p_new, mu_s, nu_s, ss
-
-
-def layer_row_update(p_row, g_row, mu_s, nu_s, layer, *, c1, c2, lr,
-                     clip_factor, hp, key, stochastic, block_size):
-    """One LAYER ROW of a trunk-stacked leaf, moments in the [L, nb, block]
-    row layout; reads and writes only row `layer` (in place under the scan
-    carry). Returns (p_row_new, mu_row_new or None, nu_row_new, ss).
-
-    Quantized rows run CHUNKED under lax.map like leaf_update: a 33.5M-elem
-    mlp row decodes to 3x128 MB fp32 temporaries unchunked (measured: the
-    last ~0.4 GB past HBM)."""
-    g = g_row.astype(jnp.float32)
-    ss = jnp.sum(jnp.square(g))
-    quant = isinstance(mu_s, dict)
-    if not quant:
-        geff = g * clip_factor
-        mu, nu = mu_s[layer], nu_s[layer]
-        mu, nu, direction = _adam_math(geff, mu, nu, c1, c2, hp)
-        upd = -lr * (direction + hp.weight_decay * p_row.astype(jnp.float32))
-        return _sr_add(p_row, upd, key, stochastic), (mu,), (nu,), ss
-
-    nb = mu_s["q"].shape[1]  # rows per layer; exact (trunk leaves divide)
-    rows_c = 2048 if nb > 2048 and nb % 2048 == 0 else nb
-    n_chunks = nb // rows_c
-    code_s = jnp.asarray(q8._CODE_SIGNED)
-    code_u = jnp.asarray(q8._CODE_UNSIGNED)
-    bounds_s = jnp.asarray(q8._BOUND_SIGNED)
-    bounds_u = jnp.asarray(q8._BOUND_UNSIGNED)
-
-    g_c = g_row.reshape(n_chunks, rows_c, block_size)
-    p_c = p_row.reshape(n_chunks, rows_c, block_size)
-    qm = mu_s["q"][layer].reshape(n_chunks, rows_c, block_size)
-    sm = mu_s["scale"][layer].reshape(n_chunks, rows_c, 1)
-    qn = nu_s["q"][layer].reshape(n_chunks, rows_c, block_size)
-    sn = nu_s["scale"][layer].reshape(n_chunks, rows_c, 1)
-
-    def chunk_body(xs):
-        gc, pc, qmc, smc, qnc, snc, idx = xs
-        gc = gc.astype(jnp.float32) * clip_factor
-        mu = code_s[qmc.astype(jnp.int32) + 128] * smc
-        nu = code_u[qnc.astype(jnp.int32) + 128] * snc
-        mu, nu, direction = _adam_math(gc, mu, nu, c1, c2, hp)
-        upd = -lr * (direction + hp.weight_decay * pc.astype(jnp.float32))
-        pc_new = _sr_add(pc, upd, jax.random.fold_in(key, idx), stochastic)
-
-        def enc(x, bounds):
-            scale = jnp.max(jnp.abs(x), axis=1, keepdims=True)
-            u = x / jnp.maximum(scale, jnp.finfo(jnp.float32).tiny)
-            qi = jnp.searchsorted(bounds, u)
-            return (qi.astype(jnp.int32) - 128).astype(jnp.int8), scale
-
-        qm2, sm2 = enc(mu, bounds_s)
-        qn2, sn2 = enc(nu, bounds_u)
-        return pc_new, qm2, sm2, qn2, sn2
-
-    p_new, qm2, sm2, qn2, sn2 = jax.lax.map(
-        chunk_body, (g_c, p_c, qm, sm, qn, sn, jnp.arange(n_chunks)))
-    p_new = p_new.reshape(p_row.shape).astype(p_row.dtype)
-    mu_new = (qm2.reshape(nb, block_size), sm2.reshape(nb, 1))
-    nu_new = (qn2.reshape(nb, block_size), sn2.reshape(nb, 1))
-    return p_new, mu_new, nu_new, ss
+    p2, qm2, sm2, qn2, sn2 = _chunked_quant_update(
+        to_rows(p), to_rows(g), mu_s["q"], mu_s["scale"], nu_s["q"],
+        nu_s["scale"], c1=c1, c2=c2, lr=lr, clip_factor=clip_factor, hp=hp,
+        key=key, stochastic=stochastic, block_size=block_size)
+    p_new = p2.reshape(-1)[:n].reshape(p.shape).astype(p.dtype)
+    return (p_new, {"q": qm2, "scale": sm2}, {"q": qn2, "scale": sn2}, ss)
 
 
 # ---------------------------------------------------------------------------
@@ -369,6 +369,8 @@ def make_fused_joint_step(cfg, opt: OptimizerConfig, policy=None, *,
             clip_factor = jnp.float32(1.0)
 
         hp = opt
+        upd_kw = dict(c1=c1, c2=c2, lr=lr, clip_factor=clip_factor, hp=hp,
+                      stochastic=stochastic_rounding, block_size=block_size)
 
         # ---- flow-matching setup (pi0_model.compute_loss semantics) ----
         actions = batch["actions"].astype(jnp.float32)
@@ -430,6 +432,8 @@ def make_fused_joint_step(cfg, opt: OptimizerConfig, policy=None, *,
                                  cfg.expert, policy, cfg.attention_impl)
         vlm_blocks0 = params["vlm"]["blocks"]
         exp_blocks0 = params["expert"]["blocks"]
+        pack_v = TrunkPack(vlm_blocks0, block_size)
+        pack_e = TrunkPack(exp_blocks0, block_size)
 
         def fwd_body(carry, i):
             bp_v = jax.tree.map(lambda a: a[i], vlm_blocks0)
@@ -457,19 +461,39 @@ def make_fused_joint_step(cfg, opt: OptimizerConfig, policy=None, *,
             return losses.sum() / denom
 
         head_p = {
-            "last_v": jax.tree.map(lambda a: a[L - 1],
-                                   params["vlm"]["blocks"]),
-            "last_e": jax.tree.map(lambda a: a[L - 1],
-                                   params["expert"]["blocks"]),
+            "last_v": jax.tree.map(lambda a: a[L - 1], vlm_blocks0),
+            "last_e": jax.tree.map(lambda a: a[L - 1], exp_blocks0),
             "final_norm": params["expert"]["final_norm"],
             "out_proj": params["action_out_proj"],
         }
         loss, vjp_head = jax.vjp(head_fn, head_p, (xp_top, xs_top))
         d_head, (dxp, dxs) = vjp_head(jnp.ones((), loss.dtype))
 
+        # ---- the packed per-layer trunk update ----
+        def trunk_row_update(pack: TrunkPack, stack_tree, g_row_tree,
+                             mom_mu, mom_nu, layer, key):
+            """Update row `layer` of every leaf of one trunk tree through
+            ONE packed chunked update. Returns (stack', mu', nu', ss)."""
+            g2 = pack.pack(g_row_tree)  # zero-padded rows -> ss is exact
+            ss = jnp.sum(jnp.square(g2))
+            p_rows = jax.tree.map(lambda a: a[layer], stack_tree)
+            p2 = pack.pack(p_rows)
+            p2n, qm, sm, qn, sn = _chunked_quant_update(
+                p2, g2, mom_mu["q"][layer], mom_mu["scale"][layer],
+                mom_nu["q"][layer], mom_nu["scale"][layer],
+                key=key, **upd_kw)
+            new_rows = pack.unpack(p2n)
+            stack_tree = jax.tree.map(
+                lambda a, r: a.at[layer].set(r.astype(a.dtype)),
+                stack_tree, new_rows)
+            mom_mu = {"q": mom_mu["q"].at[layer].set(qm),
+                      "scale": mom_mu["scale"].at[layer].set(sm)}
+            mom_nu = {"q": mom_nu["q"].at[layer].set(qn),
+                      "scale": mom_nu["scale"].at[layer].set(sn)}
+            return stack_tree, mom_mu, mom_nu, ss
+
         ss_total = jnp.zeros((), jnp.float32)
 
-        # ---- stage 4: update head params ----
         def update_small_tree(ptree, gtree, mtree, ntree, base_key):
             nonlocal ss_total
             flat_p = jax.tree_util.tree_flatten_with_path(ptree)[0]
@@ -482,77 +506,28 @@ def make_fused_joint_step(cfg, opt: OptimizerConfig, policy=None, *,
             for i, (path, p) in enumerate(flat_p):
                 k = jax.random.fold_in(base_key, i)
                 pn, mn, nn, ss = leaf_update(
-                    p, g_by[path], m_by[path], n_by[path],
-                    c1=c1, c2=c2, lr=lr, clip_factor=clip_factor, hp=hp,
-                    key=k, stochastic=stochastic_rounding,
-                    block_size=block_size)
+                    p, g_by[path], m_by[path], n_by[path], key=k, **upd_kw)
                 ss_total = ss_total + ss
                 flat_new_p.append(pn)
                 flat_new_m.append(mn)
                 flat_new_n.append(nn)
             treedef = jax.tree_util.tree_structure(ptree)
-            mdef = jax.tree_util.tree_structure(
-                mtree, is_leaf=_is_quant_leaf)
+            mdef = jax.tree_util.tree_structure(mtree, is_leaf=_is_quant_leaf)
             return (
                 jax.tree_util.tree_unflatten(treedef, flat_new_p),
                 jax.tree_util.tree_unflatten(mdef, flat_new_m),
                 jax.tree_util.tree_unflatten(mdef, flat_new_n),
             )
 
-        # head: last trunk rows get the trunk row-update; final_norm/out_proj
-        # are plain leaves of the expert/action trees
-        new_vlm_blocks = params["vlm"]["blocks"]
-        new_exp_blocks = params["expert"]["blocks"]
-        mu_vb, nu_vb = mu["vlm"]["blocks"], nu["vlm"]["blocks"]
-        mu_eb, nu_eb = mu["expert"]["blocks"], nu["expert"]["blocks"]
-
-        def apply_trunk_row(p_stack, g_row_tree, m_stack, n_stack, layer,
-                            base_key):
-            """Update row `layer` of every leaf of one trunk block tree,
-            in place. Returns (p_stack', m_stack', n_stack', ss)."""
-            ss_acc = jnp.zeros((), jnp.float32)
-            flat_p = jax.tree_util.tree_flatten_with_path(p_stack)[0]
-            g_by = dict(jax.tree_util.tree_flatten_with_path(g_row_tree)[0])
-            is_q = _is_quant_leaf
-            m_by = dict(jax.tree_util.tree_flatten_with_path(m_stack, is_leaf=is_q)[0])
-            n_by = dict(jax.tree_util.tree_flatten_with_path(n_stack, is_leaf=is_q)[0])
-            new_p, new_m, new_n = [], [], []
-            for i, (path, p) in enumerate(flat_p):
-                k = jax.random.fold_in(base_key, i)
-                m_s, n_s = m_by[path], n_by[path]
-                p_row = p[layer]
-                pn, mn, nn, ss = layer_row_update(
-                    p_row, g_by[path], m_s, n_s, layer,
-                    c1=c1, c2=c2, lr=lr, clip_factor=clip_factor, hp=hp,
-                    key=k, stochastic=stochastic_rounding,
-                    block_size=block_size)
-                ss_acc = ss_acc + ss
-                new_p.append(p.at[layer].set(pn))
-                if isinstance(m_s, dict):
-                    qm, sm = mn
-                    qn_, sn_ = nn
-                    new_m.append({"q": m_s["q"].at[layer].set(qm),
-                                  "scale": m_s["scale"].at[layer].set(sm)})
-                    new_n.append({"q": n_s["q"].at[layer].set(qn_),
-                                  "scale": n_s["scale"].at[layer].set(sn_)})
-                else:
-                    new_m.append(m_s.at[layer].set(mn[0]))
-                    new_n.append(n_s.at[layer].set(nn[0]))
-            treedef = jax.tree_util.tree_structure(p_stack)
-            mdef = jax.tree_util.tree_structure(m_stack, is_leaf=is_q)
-            return (
-                jax.tree_util.tree_unflatten(treedef, new_p),
-                jax.tree_util.tree_unflatten(mdef, new_m),
-                jax.tree_util.tree_unflatten(mdef, new_n),
-                ss_acc,
-            )
-
-        new_vlm_blocks, mu_vb, nu_vb, ss = apply_trunk_row(
-            new_vlm_blocks, d_head["last_v"], mu_vb, nu_vb, L - 1,
+        # ---- stage 4: head updates (last trunk rows + final_norm/out_proj)
+        new_vb, mu_vb, nu_vb, ss = trunk_row_update(
+            pack_v, vlm_blocks0, d_head["last_v"],
+            mu["vlm"]["blocks"], nu["vlm"]["blocks"], L - 1,
             jax.random.fold_in(k_sr, 1001))
         ss_total = ss_total + ss
-        new_exp_blocks, mu_eb, nu_eb, ss = apply_trunk_row(
-            new_exp_blocks, d_head["last_e"], mu_eb, nu_eb, L - 1,
+        new_eb, mu_eb, nu_eb, ss = trunk_row_update(
+            pack_e, exp_blocks0, d_head["last_e"],
+            mu["expert"]["blocks"], nu["expert"]["blocks"], L - 1,
             jax.random.fold_in(k_sr, 1002))
         ss_total = ss_total + ss
 
@@ -581,18 +556,17 @@ def make_fused_joint_step(cfg, opt: OptimizerConfig, policy=None, *,
             _, vjp_l = jax.vjp(layer_fwd, bp_v, bp_e, layer_in)
             g_v, g_e, (dxp_new, dxs_new) = vjp_l((dxp_, dxs_))
             key, k_v, k_e = jax.random.split(key, 3)
-            vb, m_vb, n_vb, ss1 = apply_trunk_row(
-                vb, g_v, m_vb, n_vb, layer, k_v)
-            eb, m_eb, n_eb, ss2 = apply_trunk_row(
-                eb, g_e, m_eb, n_eb, layer, k_e)
+            vb, m_vb, n_vb, ss1 = trunk_row_update(
+                pack_v, vb, g_v, m_vb, n_vb, layer, k_v)
+            eb, m_eb, n_eb, ss2 = trunk_row_update(
+                pack_e, eb, g_e, m_eb, n_eb, layer, k_e)
             return (dxp_new, dxs_new, vb, eb, m_vb, n_vb, m_eb, n_eb,
                     ss_c + ss1 + ss2, key), None
 
-        carry0 = (dxp, dxs, new_vlm_blocks, new_exp_blocks,
-                  mu_vb, nu_vb, mu_eb, nu_eb, ss_total,
-                  jax.random.fold_in(k_sr, 2000))
-        (dxp, dxs, new_vlm_blocks, new_exp_blocks,
-         mu_vb, nu_vb, mu_eb, nu_eb, ss_total, _), _ = jax.lax.scan(
+        carry0 = (dxp, dxs, new_vb, new_eb, mu_vb, nu_vb, mu_eb, nu_eb,
+                  ss_total, jax.random.fold_in(k_sr, 2000))
+        (dxp, dxs, new_vb, new_eb, mu_vb, nu_vb, mu_eb, nu_eb,
+         ss_total, _), _ = jax.lax.scan(
             bwd_body, carry0,
             (jnp.arange(L - 1), layer_inputs), reverse=True)
 
@@ -608,9 +582,9 @@ def make_fused_joint_step(cfg, opt: OptimizerConfig, policy=None, *,
         new_params = dict(params)
         for k in embed_names:
             new_params[k] = emb_new[k]
-        new_params["vlm"] = {"blocks": new_vlm_blocks,
+        new_params["vlm"] = {"blocks": new_vb,
                              "final_norm": params["vlm"]["final_norm"]}
-        new_params["expert"] = {"blocks": new_exp_blocks,
+        new_params["expert"] = {"blocks": new_eb,
                                 "final_norm": fn_new["final_norm"]}
         new_params["action_out_proj"] = fn_new["out_proj"]
         new_params["vlm_embed"] = frozen_embed

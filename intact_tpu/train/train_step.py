@@ -183,21 +183,19 @@ def state_shardings(state: TrainState, mesh, rules=None):
         for start in range(len(keys)):
             if keys[start:] in flat_params:
                 return flat_params[keys[start:]]
-        # int8-quantized moments (optim8bit): {"q": [nblocks, block],
-        # "scale": [nblocks, 1]} under the param's path. The blocked layout
-        # deliberately flattens the param, so the param's spec doesn't apply
-        # — shard the block axis over fsdp instead (ZeRO-style), replicate
-        # if indivisible.
-        if keys[-1] in ("q", "scale") and any(
-            keys[start:-1] in flat_params for start in range(len(keys) - 1)
-        ):
+        # Quantized moments (optim8bit / fused_joint): {"q": [nb, block],
+        # "scale": [nb, 1]} flat per-leaf, or [L, NB, block] packed trunk
+        # rows. The blocked layout deliberately flattens the params, so no
+        # param spec applies — shard the block-row axis over fsdp instead
+        # (ZeRO-style), replicate if indivisible. ("q"/"scale" as a FINAL
+        # path element only occurs in these layouts: attention param dicts
+        # nest kernel/bias below their q key, and ln "scale" params live in
+        # the params tree, not here.)
+        if keys[-1] in ("q", "scale"):
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             from intact_tpu.parallel.sharding import _sanitize
 
-            # flat layout [nb, block] shards the block axis; the fused
-            # trunk layout [L, nb, block] keeps the layer axis whole and
-            # shards nb (ZeRO-style either way)
             spec = P("fsdp") if leaf.ndim <= 2 else P(None, "fsdp")
             return NamedSharding(mesh, _sanitize(spec, leaf.shape, mesh))
         return replicated(mesh)

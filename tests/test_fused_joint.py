@@ -169,14 +169,33 @@ class TestQuantizedFused:
         assert total_moved > 0
         assert total_drift < 0.05 * total_moved
 
-    def test_moment_state_is_int8_rows(self, cfg):
+    def test_moment_state_is_packed_int8_rows(self, cfg):
         params = pi0.init(jax.random.key(0), cfg)
         state = init_fused_state(params, seed=0, min_quant_elems=64,
                                  block_size=256)
-        q = state.mu["vlm"]["blocks"]["mlp"]["gate"]["kernel"]["q"]
+        q = state.mu["vlm"]["blocks"]["q"]  # ONE packed array per trunk
         assert q.dtype == jnp.int8
-        assert q.ndim == 3  # [L, nb, block] row layout
+        assert q.ndim == 3  # [L, NB, block] packed row layout
         assert q.shape[0] == cfg.vlm.depth
+        from intact_tpu.train.fused_joint import TrunkPack
+
+        pack = TrunkPack(params["vlm"]["blocks"], 256)
+        assert q.shape[1] == pack.nb
+
+    def test_trunk_pack_roundtrip(self, cfg):
+        from intact_tpu.train.fused_joint import TrunkPack
+
+        params = pi0.init(jax.random.key(0), cfg)
+        blocks = params["vlm"]["blocks"]
+        pack = TrunkPack(blocks, 256)
+        rows = jax.tree.map(lambda a: a[1], blocks)
+        flat = pack.pack(rows)
+        assert flat.shape == (pack.nb, 256)
+        back = pack.unpack(flat)
+        jax.tree.map(
+            lambda a, b_: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), rtol=1e-6),
+            rows, back)
 
 
 class TestFusedTrainerEndToEnd:
