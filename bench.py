@@ -71,6 +71,8 @@ def bench_train(args) -> int:
     entry = model_registry.get(args.model + ("_tiny" if args.tiny else ""))
     pi0 = importlib.import_module(entry["module"])  # family model module
     cfg = entry["default_config"]()
+    if hasattr(cfg, "attention_impl"):
+        cfg = dataclasses.replace(cfg, attention_impl=args.attention)
     if hasattr(cfg, "train_expert_only"):
         cfg = dataclasses.replace(cfg, train_expert_only=not joint)
     policy = cm.DtypePolicy(

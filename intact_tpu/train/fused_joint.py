@@ -118,7 +118,7 @@ class TrunkPack:
     state and the per-layer optimizer update then treat a whole layer as
     ONE flat array."""
 
-    def __init__(self, template, block_size: int):
+    def __init__(self, template, block_size: int, round_rows_to: int = 2048):
         self.block = block_size
         leaves, self.treedef = jax.tree_util.tree_flatten(template)
         self.shapes = [tuple(l.shape[1:]) for l in leaves]  # per-layer dims
@@ -126,15 +126,23 @@ class TrunkPack:
         self.rows = [-(-n // block_size) for n in self.sizes]
         self.offsets = np.concatenate([[0], np.cumsum(self.rows)]).tolist()
         self.nb = int(self.offsets[-1])
+        # round NB up to the update's chunk size so the per-layer chunked
+        # lax.map never pads/unpads inside the hot scan (the padded rows
+        # live permanently in the moment state, scale 0 / zero grads)
+        if round_rows_to > 1 and self.nb > round_rows_to:
+            self.nb = -(-self.nb // round_rows_to) * round_rows_to
 
     def pack(self, tree_rows, dtype=jnp.float32) -> jnp.ndarray:
-        """Tree of per-layer leaf values -> [NB, block]."""
+        """Tree of per-layer leaf values -> [NB, block] (zero tail rows)."""
         flats = []
         for leaf, n, r in zip(jax.tree_util.tree_leaves(tree_rows),
                               self.sizes, self.rows):
             x = leaf.reshape(-1).astype(dtype)
             x = jnp.pad(x, (0, r * self.block - n))
             flats.append(x.reshape(r, self.block))
+        tail = self.nb - int(self.offsets[-1])
+        if tail:
+            flats.append(jnp.zeros((tail, self.block), dtype))
         return jnp.concatenate(flats)
 
     def unpack(self, flat: jnp.ndarray):
@@ -151,20 +159,29 @@ class TrunkPack:
 # moment init
 # ---------------------------------------------------------------------------
 
-def _flat_quant_zero(nb: int, block_size: int, zero_idx: int) -> dict:
-    return {
-        "q": jnp.full((nb, block_size), zero_idx, jnp.int8),
-        "scale": jnp.zeros((nb, 1), jnp.float32),
-    }
-
-
 def init_fused_state(params, seed: int, block_size: int = 2048,
-                     min_quant_elems: int = 65536) -> FusedTrainState:
+                     min_quant_elems: int = 65536,
+                     moment_dtype: str = "fp8") -> FusedTrainState:
+    """moment_dtype:
+      * "fp8" (default): mu in float8_e4m3fn, nu in float8_e5m2, per-block
+        fp32 scales — native dtype converts, no codebook gather and no
+        searchsorted loop in the hot reverse scan;
+      * "int8": the optim8bit 256-entry dynamic codebook (finer resolution
+        near the block absmax, heavier encode);
+    both are 1 byte/moment. Leaves/packs below min_quant_elems stay exact
+    fp32 (the mode is carried by the stored dtype)."""
+    if moment_dtype not in ("fp8", "int8"):
+        raise ValueError(f"moment_dtype must be fp8|int8, got {moment_dtype!r}")
     zs = q8.zero_index(signed=True)
     zu = q8.zero_index(signed=False)
 
+    def zero_q(shape, signed: bool):
+        if moment_dtype == "fp8":
+            dt = jnp.float8_e4m3fn if signed else jnp.float8_e5m2
+            return jnp.zeros(shape, dt)
+        return jnp.full(shape, zs if signed else zu, jnp.int8)
+
     def moment_tree(signed: bool):
-        zidx = zs if signed else zu
         out = {}
         for name, sub in params.items():
             if name == "vlm_embed":
@@ -174,10 +191,9 @@ def init_fused_state(params, seed: int, block_size: int = 2048,
                 L = jax.tree_util.tree_leaves(sub["blocks"])[0].shape[0]
                 # below min_quant_elems per layer (tiny/test configs) the
                 # packed moments stay EXACT fp32 — same {"q","scale"}
-                # structure, dtype carries the mode (f32 "q" = raw moment,
-                # scale unused)
+                # structure, dtype carries the mode
                 if pack.nb * block_size >= min_quant_elems:
-                    q0 = jnp.full((L, pack.nb, block_size), zidx, jnp.int8)
+                    q0 = zero_q((L, pack.nb, block_size), signed)
                 else:
                     q0 = jnp.zeros((L, pack.nb, block_size), jnp.float32)
                 out[name] = {
@@ -193,8 +209,11 @@ def init_fused_state(params, seed: int, block_size: int = 2048,
 
             def leaf(p):
                 if p.size >= min_quant_elems:
-                    return _flat_quant_zero(-(-p.size // block_size),
-                                            block_size, zidx)
+                    nb = -(-p.size // block_size)
+                    return {
+                        "q": zero_q((nb, block_size), signed),
+                        "scale": jnp.zeros((nb, 1), jnp.float32),
+                    }
                 return jnp.zeros(p.shape, jnp.float32)
 
             out[name] = jax.tree.map(leaf, sub)
@@ -233,7 +252,7 @@ def _adam_math(g, mu, nu, c1, c2, hp):
 
 def _chunked_quant_update(p2, g2, qm, sm, qn, sn, *, c1, c2, lr, clip_factor,
                           hp, key, stochastic, block_size,
-                          rows_chunk: int = 2048):
+                          rows_chunk: int = 256):
     """Core blocked update on flat [NB, block] views.
 
     p2/g2: [NB, block] (padding rows are zeros); qm/sm/qn/sn: moment rows.
@@ -247,6 +266,10 @@ def _chunked_quant_update(p2, g2, qm, sm, qn, sn, *, c1, c2, lr, clip_factor,
     n_chunks = nb_pad // rows_c
 
     def pad_rows(a):
+        # identity for chunk-aligned layouts (TrunkPack rounds NB up so the
+        # hot reverse scan never pads here)
+        if nb_pad == nb:
+            return a
         return jnp.pad(a, ((0, nb_pad - nb),) + ((0, 0),) * (a.ndim - 1))
 
     g_c = pad_rows(g2).reshape(n_chunks, rows_c, block_size)
@@ -260,21 +283,45 @@ def _chunked_quant_update(p2, g2, qm, sm, qn, sn, *, c1, c2, lr, clip_factor,
     bounds_s = jnp.asarray(q8._BOUND_SIGNED)
     bounds_u = jnp.asarray(q8._BOUND_UNSIGNED)
 
-    quantized = qm.dtype == jnp.int8  # f32 "q" = exact packed moments
+    # moment storage mode, carried by dtype:
+    #   int8            -> 256-entry dynamic codebook (optim8bit)
+    #   float8_e4m3fn / float8_e5m2 -> native fp8 with per-block scale
+    #                      (one convert each way — no table gather, no
+    #                      searchsorted binary-search loop)
+    #   float32         -> exact (tiny/test configs)
+    mode = ("code" if qm.dtype == jnp.int8
+            else "fp8" if qm.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2)
+            else "exact")
+    FP8_MAX = {jnp.dtype(jnp.float8_e4m3fn): 448.0,
+               jnp.dtype(jnp.float8_e5m2): 57344.0}
 
     def chunk_body(xs):
         gc, pc, qmc, smc, qnc, snc, idx = xs
         gc = gc.astype(jnp.float32) * clip_factor
-        if quantized:
+        if mode == "code":
             mu = code_s[qmc.astype(jnp.int32) + 128] * smc
             nu = code_u[qnc.astype(jnp.int32) + 128] * snc
+        elif mode == "fp8":
+            mu = qmc.astype(jnp.float32) * smc
+            nu = qnc.astype(jnp.float32) * snc
         else:
             mu, nu = qmc, qnc
         mu, nu, direction = _adam_math(gc, mu, nu, c1, c2, hp)
         upd = -lr * (direction + hp.weight_decay * pc.astype(jnp.float32))
         pc_new = _sr_add(pc, upd, jax.random.fold_in(key, idx), stochastic)
-        if not quantized:
+        if mode == "exact":
             return pc_new, mu, smc, nu, snc
+
+        if mode == "fp8":
+            def enc8(x, dtype):
+                scale = jnp.max(jnp.abs(x), axis=1, keepdims=True) \
+                    / FP8_MAX[jnp.dtype(dtype)]
+                scale = jnp.maximum(scale, jnp.finfo(jnp.float32).tiny)
+                return (x / scale).astype(dtype), scale
+
+            qm2, sm2 = enc8(mu, qmc.dtype)
+            qn2, sn2 = enc8(nu, qnc.dtype)
+            return pc_new, qm2, sm2, qn2, sn2
 
         def enc(x, bounds):
             scale = jnp.max(jnp.abs(x), axis=1, keepdims=True)

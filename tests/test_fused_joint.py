@@ -143,9 +143,11 @@ class TestFusedMatchesStandard:
 
 
 class TestQuantizedFused:
-    def test_quantized_step_tracks_exact(self, cfg):
-        """With int8 moments ON (tiny threshold) the trajectory stays close
-        to the exact one — same gate as test_optim8bit's parity bound."""
+    @pytest.mark.parametrize("moment_dtype", ["fp8", "int8"])
+    def test_quantized_step_tracks_exact(self, cfg, moment_dtype):
+        """With 8-bit moments ON (tiny threshold) the trajectory stays close
+        to the exact one — both storage modes (fp8 native converts and the
+        int8 dynamic codebook)."""
         params = pi0.init(jax.random.key(0), cfg)
         batch = _batch(cfg)
         exact = jax.jit(make_fused_joint_step(
@@ -156,7 +158,7 @@ class TestQuantizedFused:
             stochastic_rounding=False))
         s_e = init_fused_state(params, seed=7, min_quant_elems=1 << 30)
         s_q = init_fused_state(params, seed=7, min_quant_elems=64,
-                               block_size=256)
+                               block_size=256, moment_dtype=moment_dtype)
         for _ in range(3):
             s_e, _ = exact.__call__(s_e, batch)
             s_q, _ = quant.__call__(s_q, batch)
@@ -169,18 +171,23 @@ class TestQuantizedFused:
         assert total_moved > 0
         assert total_drift < 0.05 * total_moved
 
-    def test_moment_state_is_packed_int8_rows(self, cfg):
+    def test_moment_state_is_packed_8bit_rows(self, cfg):
         params = pi0.init(jax.random.key(0), cfg)
         state = init_fused_state(params, seed=0, min_quant_elems=64,
-                                 block_size=256)
+                                 block_size=256)  # default: fp8
         q = state.mu["vlm"]["blocks"]["q"]  # ONE packed array per trunk
-        assert q.dtype == jnp.int8
+        assert q.dtype == jnp.float8_e4m3fn and q.dtype.itemsize == 1
+        assert state.nu["vlm"]["blocks"]["q"].dtype == jnp.float8_e5m2
         assert q.ndim == 3  # [L, NB, block] packed row layout
         assert q.shape[0] == cfg.vlm.depth
         from intact_tpu.train.fused_joint import TrunkPack
 
         pack = TrunkPack(params["vlm"]["blocks"], 256)
         assert q.shape[1] == pack.nb
+
+        state8 = init_fused_state(params, seed=0, min_quant_elems=64,
+                                  block_size=256, moment_dtype="int8")
+        assert state8.mu["vlm"]["blocks"]["q"].dtype == jnp.int8
 
     def test_trunk_pack_roundtrip(self, cfg):
         from intact_tpu.train.fused_joint import TrunkPack
