@@ -118,7 +118,7 @@ class TrunkPack:
     state and the per-layer optimizer update then treat a whole layer as
     ONE flat array."""
 
-    def __init__(self, template, block_size: int, round_rows_to: int = 2048):
+    def __init__(self, template, block_size: int, round_rows_to: int = 8192):
         self.block = block_size
         leaves, self.treedef = jax.tree_util.tree_flatten(template)
         self.shapes = [tuple(l.shape[1:]) for l in leaves]  # per-layer dims
@@ -132,11 +132,15 @@ class TrunkPack:
         if round_rows_to > 1 and self.nb > round_rows_to:
             self.nb = -(-self.nb // round_rows_to) * round_rows_to
 
-    def pack(self, tree_rows, dtype=jnp.float32) -> jnp.ndarray:
-        """Tree of per-layer leaf values -> [NB, block] (zero tail rows)."""
+    def pack(self, tree_rows, dtype=None) -> jnp.ndarray:
+        """Tree of per-layer leaf values -> [NB, block] (zero tail rows).
+        dtype=None keeps the leaves' own dtype (bf16 params/grads pack at
+        2 bytes — the fp32 upcast doubled the reverse scan's HBM traffic)."""
+        leaves = jax.tree_util.tree_leaves(tree_rows)
+        if dtype is None:
+            dtype = leaves[0].dtype
         flats = []
-        for leaf, n, r in zip(jax.tree_util.tree_leaves(tree_rows),
-                              self.sizes, self.rows):
+        for leaf, n, r in zip(leaves, self.sizes, self.rows):
             x = leaf.reshape(-1).astype(dtype)
             x = jnp.pad(x, (0, r * self.block - n))
             flats.append(x.reshape(r, self.block))
@@ -146,7 +150,7 @@ class TrunkPack:
         return jnp.concatenate(flats)
 
     def unpack(self, flat: jnp.ndarray):
-        """[NB, block] -> tree of per-layer leaf values (fp32)."""
+        """[NB, block] -> tree of per-layer leaf values (flat's dtype)."""
         out = []
         for shape, n, r, off in zip(self.shapes, self.sizes, self.rows,
                                     self.offsets):
@@ -252,15 +256,23 @@ def _adam_math(g, mu, nu, c1, c2, hp):
 
 def _chunked_quant_update(p2, g2, qm, sm, qn, sn, *, c1, c2, lr, clip_factor,
                           hp, key, stochastic, block_size,
-                          rows_chunk: int = 256):
+                          rows_chunk: int | None = None):
     """Core blocked update on flat [NB, block] views.
 
     p2/g2: [NB, block] (padding rows are zeros); qm/sm/qn/sn: moment rows.
     Chunked under ONE lax.map so fp32 decode/searchsorted temporaries stay
     ~rows_chunk*block*4 bytes (a whole-leaf formulation materialized GBs).
+    rows_chunk=None picks by moment mode: the int8 codebook's vectorized
+    searchsorted needs small chunks (256 rows); the fp8/exact chain is pure
+    elementwise + row-max, so 8192-row chunks keep temporaries ~134 MB while
+    cutting the per-layer kernel count ~32x (256-row chunks serialized ~200
+    tiny kernels per VLM layer — measured 389 ms/step of the fused joint
+    step's 1236 ms went to the optimizer, vs ~60 ms of HBM-traffic floor).
     Returns (p2_new, qm', sm', qn', sn').
     """
     nb = p2.shape[0]
+    if rows_chunk is None:
+        rows_chunk = 256 if qm.dtype == jnp.int8 else 8192
     rows_c = rows_chunk if nb > rows_chunk else nb
     nb_pad = -(-nb // rows_c) * rows_c
     n_chunks = nb_pad // rows_c
@@ -379,11 +391,16 @@ def make_fused_joint_step(cfg, opt: OptimizerConfig, policy=None, *,
                           block_size: int = 2048,
                           min_quant_elems: int = 65536,
                           stochastic_rounding: bool = True,
-                          clip_mode: str = "delayed"):
+                          clip_mode: str = "delayed",
+                          apply_updates: bool = True):
     """-> step(FusedTrainState, batch) -> (FusedTrainState, metrics).
 
     jit with donate_argnums=(0,). Batch keys as pi0.compute_loss.
     clip_mode: "delayed" (previous step's global norm) or "none".
+    apply_updates=False is a PROFILING mode (scripts/profile_joint_phases.py):
+    the full backward still runs (the exact grad_norm pins it live), but no
+    optimizer decode/adam/encode and no parameter writes — the full-vs-this
+    delta is the per-step optimizer cost.
     """
     if clip_mode not in ("delayed", "none"):
         raise ValueError(f"clip_mode must be delayed|none, got {clip_mode!r}")
@@ -521,8 +538,12 @@ def make_fused_joint_step(cfg, opt: OptimizerConfig, policy=None, *,
                              mom_mu, mom_nu, layer, key):
             """Update row `layer` of every leaf of one trunk tree through
             ONE packed chunked update. Returns (stack', mu', nu', ss)."""
+            if not apply_updates:
+                ss = sum(jnp.sum(jnp.square(g.astype(jnp.float32)))
+                         for g in jax.tree_util.tree_leaves(g_row_tree))
+                return stack_tree, mom_mu, mom_nu, ss
             g2 = pack.pack(g_row_tree)  # zero-padded rows -> ss is exact
-            ss = jnp.sum(jnp.square(g2))
+            ss = jnp.sum(jnp.square(g2.astype(jnp.float32)))
             p_rows = jax.tree.map(lambda a: a[layer], stack_tree)
             p2 = pack.pack(p_rows)
             p2n, qm, sm, qn, sn = _chunked_quant_update(
@@ -551,6 +572,13 @@ def make_fused_joint_step(cfg, opt: OptimizerConfig, policy=None, *,
                 ntree, is_leaf=_is_quant_leaf)[0])
             flat_new_p, flat_new_m, flat_new_n = [], [], []
             for i, (path, p) in enumerate(flat_p):
+                if not apply_updates:
+                    ss_total = ss_total + jnp.sum(
+                        jnp.square(g_by[path].astype(jnp.float32)))
+                    flat_new_p.append(p)
+                    flat_new_m.append(m_by[path])
+                    flat_new_n.append(n_by[path])
+                    continue
                 k = jax.random.fold_in(base_key, i)
                 pn, mn, nn, ss = leaf_update(
                     p, g_by[path], m_by[path], n_by[path], key=k, **upd_kw)

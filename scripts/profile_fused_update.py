@@ -1,0 +1,134 @@
+"""Microbench the fused joint step's per-layer optimizer update in
+isolation, at the real bridge VLM-trunk scale.
+
+The phase profile (scripts/profile_joint_phases.py) pins the fused step's
+optimizer cost; this isolates ONE trunk_row_update (pack grads + pack
+params + chunked decode->adam->encode + unpack + row scatter) so chunking /
+layout variants can be swept in seconds instead of 2-minute full-step
+compiles. HBM-traffic floor per VLM layer is ~1.3 GB => ~1.6 ms; anything
+far above that is serialization or copy waste.
+
+Usage:
+  python scripts/profile_fused_update.py                # real chip
+  python scripts/profile_fused_update.py --rows-chunk 1024 2048 8192 0
+  (0 = whole layer in one chunk)
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows-chunk", type=int, nargs="*", default=[256, 2048, 8192, 0])
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--tiny", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+
+    from intact_tpu.models import gemma
+    from intact_tpu.models.pi0.config import Pi0Config
+    from intact_tpu.train import fused_joint as fj
+    from intact_tpu.train.optim import OptimizerConfig
+    from intact_tpu.utils.device import drain_device_queue
+
+    cfg = Pi0Config.tiny() if args.tiny else Pi0Config.bridge()
+    L = cfg.vlm.depth
+
+    # one trunk tree of stacked layer params, bridge scale
+    params = jax.jit(lambda k: jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16),
+        gemma.init_blocks(k, cfg.vlm)["blocks"]))(jax.random.key(0))
+    pack = fj.TrunkPack(params, 2048)
+    print(f"# VLM trunk: NB={pack.nb} rows "
+          f"({pack.nb * 2048 * L / 1e9:.2f}G moment elems/tree)",
+          file=sys.stderr)
+
+    g_rows = jax.jit(lambda k: jax.tree.map(
+        lambda x: 1e-3 * jax.random.normal(k, x.shape[1:], jnp.bfloat16),
+        params))(jax.random.key(1))
+    mu = {"q": jnp.zeros((L, pack.nb, 2048), jnp.float8_e4m3fn),
+          "scale": jnp.zeros((L, pack.nb, 1), jnp.float32)}
+    nu = {"q": jnp.zeros((L, pack.nb, 2048), jnp.float8_e5m2),
+          "scale": jnp.zeros((L, pack.nb, 1), jnp.float32)}
+    hp = OptimizerConfig(lr=5e-5, weight_decay=0.0)
+    drain_device_queue((params, g_rows, mu, nu))
+
+    for rc in args.rows_chunk:
+        rows_chunk = pack.nb if rc == 0 else rc
+
+        def all_layers(stack, g, m, n, key):
+            # every layer's update chained in ONE program (the real step's
+            # reverse-scan context) — per-call tunnel dispatch (~30 ms)
+            # otherwise swamps a per-layer microbench
+            def body(layer, carry):
+                stack, m, n, ss_acc = carry
+                g2 = pack.pack(g)
+                ss = jnp.sum(jnp.square(g2.astype(jnp.float32)))
+                p2 = pack.pack(jax.tree.map(lambda a: a[layer], stack))
+                p2n, qm, sm, qn, sn = fj._chunked_quant_update(
+                    p2, g2, m["q"][layer], m["scale"][layer],
+                    n["q"][layer], n["scale"][layer],
+                    c1=0.1, c2=0.001, lr=jnp.float32(5e-5),
+                    clip_factor=jnp.float32(1.0), hp=hp,
+                    key=jax.random.fold_in(key, layer),
+                    stochastic=True, block_size=2048, rows_chunk=rows_chunk)
+                stack = jax.tree.map(
+                    lambda a, r: a.at[layer].set(r.astype(a.dtype)),
+                    stack, pack.unpack(p2n))
+                m = {"q": m["q"].at[layer].set(qm),
+                     "scale": m["scale"].at[layer].set(sm)}
+                n = {"q": n["q"].at[layer].set(qn),
+                     "scale": n["scale"].at[layer].set(sn)}
+                return stack, m, n, ss_acc + ss
+
+            return jax.lax.fori_loop(
+                0, L, body, (stack, m, n, jnp.float32(0.0)))
+
+        upd = jax.jit(all_layers, donate_argnums=(0, 2, 3))
+        key = jax.random.key(2)
+        p_, m_, n_ = params, mu, nu
+        # compile
+        p_, m_, n_, ss = upd(p_, g_rows, m_, n_, key)
+        np.asarray(ss)
+        ts = []
+        for _ in range(args.iters):
+            t0 = time.time()
+            p_, m_, n_, ss = upd(p_, g_rows, m_, n_, key)
+            np.asarray(ss)
+            ts.append(time.time() - t0)
+        med = sorted(ts)[len(ts) // 2] / L
+        print(f"# rows_chunk={rc:>6}: {med*1e3:7.2f} ms/layer "
+              f"-> {med*1e3*2*(L-1):6.1f} ms/step for both trunks(approx)",
+              file=sys.stderr, flush=True)
+        del p_, m_, n_
+        # rebuild donated inputs for the next variant
+        params = jax.jit(lambda k: jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16),
+            gemma.init_blocks(k, cfg.vlm)["blocks"]))(jax.random.key(0))
+        mu = {"q": jnp.zeros((L, pack.nb, 2048), jnp.float8_e4m3fn),
+              "scale": jnp.zeros((L, pack.nb, 1), jnp.float32)}
+        nu = {"q": jnp.zeros((L, pack.nb, 2048), jnp.float8_e5m2),
+              "scale": jnp.zeros((L, pack.nb, 1), jnp.float32)}
+        drain_device_queue((params, mu, nu))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
