@@ -57,6 +57,7 @@ import numpy as np
 from intact_tpu.models import common as cm
 from intact_tpu.models import gemma
 from intact_tpu.models.pi0 import model as pi0_model
+from intact_tpu.ops import pallas_adam
 from intact_tpu.ops.masks import make_att_2d_masks
 from intact_tpu.train.optim import OptimizerConfig, cosine_warmup_restarts
 from intact_tpu.train import optim8bit as q8
@@ -113,10 +114,14 @@ class TrunkPack:
     """Fixed flat row layout for one trunk block tree's per-layer values.
 
     Every leaf [L, *dims] contributes ceil(prod(dims)/block) rows of the
-    packed [NB, block] layer-row matrix, in tree_flatten order, zero-padded
-    to its row boundary. pack/unpack are pure reshapes+concat — the moment
-    state and the per-layer optimizer update then treat a whole layer as
-    ONE flat array."""
+    packed [NB, block] layer-row matrix, zero-padded to its row boundary.
+    Row-TILE-aligned leaves (size % block == 0, rows % ROW_TILE == 0) come
+    FIRST so each starts at a ROW_TILE-aligned offset — the Pallas row
+    kernel (ops/pallas_adam.py) addresses its leaf's row range in
+    ROW_TILE-block units; ragged leaves (norm scales) follow at the tail.
+    pack/unpack are pure reshapes+concat — the moment state and the
+    per-layer optimizer update then treat a whole layer as ONE flat
+    array."""
 
     def __init__(self, template, block_size: int, round_rows_to: int = 8192):
         self.block = block_size
@@ -124,8 +129,19 @@ class TrunkPack:
         self.shapes = [tuple(l.shape[1:]) for l in leaves]  # per-layer dims
         self.sizes = [int(np.prod(s)) for s in self.shapes]
         self.rows = [-(-n // block_size) for n in self.sizes]
-        self.offsets = np.concatenate([[0], np.cumsum(self.rows)]).tolist()
-        self.nb = int(self.offsets[-1])
+        aligned = [pallas_adam.eligible(n, block_size) for n in self.sizes]
+        self.order = sorted(range(len(leaves)),
+                            key=lambda i: (not aligned[i], i))
+        off, cur = {}, 0
+        for i in self.order:
+            off[i] = cur
+            cur += self.rows[i]
+        # per-leaf row offset, indexed in tree_flatten order
+        self.offsets = [off[i] for i in range(len(leaves))]
+        # NB must be a ROW_TILE multiple: the Pallas row kernel's aliased
+        # outputs keep the moment arrays' exact shape, and Pallas pads
+        # arrays to block-shape multiples
+        self.nb = -(-cur // pallas_adam.ROW_TILE) * pallas_adam.ROW_TILE
         # round NB up to the update's chunk size so the per-layer chunked
         # lax.map never pads/unpads inside the hot scan (the padded rows
         # live permanently in the moment state, scale 0 / zero grads)
@@ -140,13 +156,14 @@ class TrunkPack:
         if dtype is None:
             dtype = leaves[0].dtype
         flats = []
-        for leaf, n, r in zip(leaves, self.sizes, self.rows):
-            x = leaf.reshape(-1).astype(dtype)
-            x = jnp.pad(x, (0, r * self.block - n))
-            flats.append(x.reshape(r, self.block))
-        tail = self.nb - int(self.offsets[-1])
-        if tail:
-            flats.append(jnp.zeros((tail, self.block), dtype))
+        used = 0
+        for i in self.order:
+            x = leaves[i].reshape(-1).astype(dtype)
+            x = jnp.pad(x, (0, self.rows[i] * self.block - self.sizes[i]))
+            flats.append(x.reshape(self.rows[i], self.block))
+            used += self.rows[i]
+        if self.nb - used:
+            flats.append(jnp.zeros((self.nb - used, self.block), dtype))
         return jnp.concatenate(flats)
 
     def unpack(self, flat: jnp.ndarray):
@@ -356,13 +373,14 @@ def _chunked_quant_update(p2, g2, qm, sm, qn, sn, *, c1, c2, lr, clip_factor,
 
 
 def leaf_update(p, g, mu_s, nu_s, *, c1, c2, lr, clip_factor, hp,
-                key, stochastic, block_size):
+                key, stochastic, block_size, use_pallas=False,
+                pallas_interp=False):
     """One non-trunk parameter leaf: (p', mu', nu', ss). ss = sum of squared
     RAW gradients (fp32) for the exact global-norm metric; clipping scales g
     by clip_factor before the moments (optax clip-then-adam order)."""
-    g32 = g.astype(jnp.float32)
-    ss = jnp.sum(jnp.square(g32))
     if not _is_quant_leaf(mu_s):
+        g32 = g.astype(jnp.float32)
+        ss = jnp.sum(jnp.square(g32))
         geff = g32 * clip_factor
         mu, nu, direction = _adam_math(geff, mu_s, nu_s, c1, c2, hp)
         upd = -lr * (direction + hp.weight_decay * p.astype(jnp.float32))
@@ -370,6 +388,32 @@ def leaf_update(p, g, mu_s, nu_s, *, c1, c2, lr, clip_factor, hp,
 
     n = p.size
     nb = mu_s["q"].shape[0]
+
+    if (use_pallas and mu_s["q"].dtype != jnp.int8
+            and pallas_adam.eligible(n, block_size)):
+        # aligned big leaf: single-pass in-place kernel (layer axis = 1);
+        # the kernel's ss output keeps the raw-grad norm exact without an
+        # extra read of g
+        r = n // block_size
+        seed = jax.random.randint(key, (), jnp.iinfo(jnp.int32).min,
+                                  jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+        p2, qm2, sm2, qn2, sn2, ss = pallas_adam.fused_adam_rows(
+            p.reshape(1, r, block_size), g.reshape(r, block_size),
+            mu_s["q"].reshape(1, r, block_size),
+            mu_s["scale"].reshape(1, r, 1),
+            nu_s["q"].reshape(1, r, block_size),
+            nu_s["scale"].reshape(1, r, 1),
+            layer=0, seed=seed, c1=c1, c2=c2, lr=lr,
+            clip_factor=clip_factor, hp=hp, row_offset=0,
+            stochastic=stochastic, interpret=pallas_interp)
+        return (p2.reshape(p.shape),
+                {"q": qm2.reshape(nb, block_size),
+                 "scale": sm2.reshape(nb, 1)},
+                {"q": qn2.reshape(nb, block_size),
+                 "scale": sn2.reshape(nb, 1)}, ss)
+
+    g32 = g.astype(jnp.float32)
+    ss = jnp.sum(jnp.square(g32))
 
     def to_rows(x):
         flat = jnp.pad(x.reshape(-1), (0, nb * block_size - n))
@@ -392,7 +436,8 @@ def make_fused_joint_step(cfg, opt: OptimizerConfig, policy=None, *,
                           min_quant_elems: int = 65536,
                           stochastic_rounding: bool = True,
                           clip_mode: str = "delayed",
-                          apply_updates: bool = True):
+                          apply_updates: bool = True,
+                          pallas_mode: str = "auto"):
     """-> step(FusedTrainState, batch) -> (FusedTrainState, metrics).
 
     jit with donate_argnums=(0,). Batch keys as pi0.compute_loss.
@@ -401,9 +446,25 @@ def make_fused_joint_step(cfg, opt: OptimizerConfig, policy=None, *,
     the full backward still runs (the exact grad_norm pins it live), but no
     optimizer decode/adam/encode and no parameter writes — the full-vs-this
     delta is the per-step optimizer cost.
+    pallas_mode: "auto" (kernel on single-chip TPU, XLA elsewhere), "on",
+    "off", or "interpret" (kernel semantics on CPU, for tests). The Pallas
+    row-update kernel (ops/pallas_adam.py) reads p/g/moments once and
+    writes p'/moments' once, in place — the XLA formulation's pack/unpack
+    round trips cost ~3x that traffic (measured 343 ms vs ~60 ms floor of
+    the 1193 ms batch-24 bridge step). int8-codebook moments always use
+    the XLA path.
     """
     if clip_mode not in ("delayed", "none"):
         raise ValueError(f"clip_mode must be delayed|none, got {clip_mode!r}")
+    if pallas_mode not in ("auto", "on", "off", "interpret"):
+        raise ValueError(f"bad pallas_mode {pallas_mode!r}")
+    if pallas_mode == "auto":
+        use_pallas = (jax.default_backend() == "tpu"
+                      and jax.device_count() == 1)
+        pallas_interp = False
+    else:
+        use_pallas = pallas_mode in ("on", "interpret")
+        pallas_interp = pallas_mode == "interpret"
     policy = policy or cm.DEFAULT_POLICY
     schedule = cosine_warmup_restarts(
         max_lr=opt.lr, first_cycle_steps=opt.first_cycle_steps,
@@ -536,29 +597,97 @@ def make_fused_joint_step(cfg, opt: OptimizerConfig, policy=None, *,
         # ---- the packed per-layer trunk update ----
         def trunk_row_update(pack: TrunkPack, stack_tree, g_row_tree,
                              mom_mu, mom_nu, layer, key):
-            """Update row `layer` of every leaf of one trunk tree through
-            ONE packed chunked update. Returns (stack', mu', nu', ss)."""
+            """Update row `layer` of every leaf of one trunk tree.
+            Returns (stack', mu', nu', ss)."""
             if not apply_updates:
                 ss = sum(jnp.sum(jnp.square(g.astype(jnp.float32)))
                          for g in jax.tree_util.tree_leaves(g_row_tree))
                 return stack_tree, mom_mu, mom_nu, ss
-            g2 = pack.pack(g_row_tree)  # zero-padded rows -> ss is exact
-            ss = jnp.sum(jnp.square(g2.astype(jnp.float32)))
-            p_rows = jax.tree.map(lambda a: a[layer], stack_tree)
-            p2 = pack.pack(p_rows)
-            p2n, qm, sm, qn, sn = _chunked_quant_update(
-                p2, g2, mom_mu["q"][layer], mom_mu["scale"][layer],
-                mom_nu["q"][layer], mom_nu["scale"][layer],
-                key=key, **upd_kw)
-            new_rows = pack.unpack(p2n)
-            stack_tree = jax.tree.map(
-                lambda a, r: a.at[layer].set(r.astype(a.dtype)),
-                stack_tree, new_rows)
-            mom_mu = {"q": mom_mu["q"].at[layer].set(qm),
-                      "scale": mom_mu["scale"].at[layer].set(sm)}
-            mom_nu = {"q": mom_nu["q"].at[layer].set(qn),
-                      "scale": mom_nu["scale"].at[layer].set(sn)}
-            return stack_tree, mom_mu, mom_nu, ss
+
+            if not (use_pallas and mom_mu["q"].dtype != jnp.int8):
+                # packed XLA formulation (also the int8-codebook path)
+                g2 = pack.pack(g_row_tree)  # zero-padded rows -> exact ss
+                ss = jnp.sum(jnp.square(g2.astype(jnp.float32)))
+                p_rows = jax.tree.map(lambda a: a[layer], stack_tree)
+                p2 = pack.pack(p_rows)
+                p2n, qm, sm, qn, sn = _chunked_quant_update(
+                    p2, g2, mom_mu["q"][layer], mom_mu["scale"][layer],
+                    mom_nu["q"][layer], mom_nu["scale"][layer],
+                    key=key, **upd_kw)
+                new_rows = pack.unpack(p2n)
+                stack_tree = jax.tree.map(
+                    lambda a, r: a.at[layer].set(r.astype(a.dtype)),
+                    stack_tree, new_rows)
+                mom_mu = {"q": mom_mu["q"].at[layer].set(qm),
+                          "scale": mom_mu["scale"].at[layer].set(sm)}
+                mom_nu = {"q": mom_nu["q"].at[layer].set(qn),
+                          "scale": mom_nu["scale"].at[layer].set(sn)}
+                return stack_tree, mom_mu, mom_nu, ss
+
+            # ---- per-leaf Pallas path: every aligned leaf goes through
+            # one in-place single-pass kernel against its static row range
+            # of the packed moments; ragged leaves (norm scales — a few
+            # rows) gather/update/scatter through the XLA chain ----
+            blk = pack.block
+            leaves_p, treedef = jax.tree_util.tree_flatten(stack_tree)
+            leaves_g = jax.tree_util.tree_leaves(g_row_tree)
+            qm, sm = mom_mu["q"], mom_mu["scale"]
+            qn, sn = mom_nu["q"], mom_nu["scale"]
+            seeds = jax.random.randint(
+                key, (len(leaves_p),), jnp.iinfo(jnp.int32).min,
+                jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+            ss_tot = jnp.zeros((), jnp.float32)
+            new_p = []
+            for i, (p_leaf, g_leaf, n, r, off) in enumerate(zip(
+                    leaves_p, leaves_g, pack.sizes, pack.rows,
+                    pack.offsets)):
+                if pallas_adam.eligible(n, blk):
+                    Ld = p_leaf.shape[0]
+                    p2, qm, sm, qn, sn, ss = pallas_adam.fused_adam_rows(
+                        p_leaf.reshape(Ld, r, blk), g_leaf.reshape(r, blk),
+                        qm, sm, qn, sn, layer=layer, seed=seeds[i],
+                        c1=c1, c2=c2, lr=lr, clip_factor=clip_factor,
+                        hp=hp, row_offset=off,
+                        stochastic=stochastic_rounding,
+                        interpret=pallas_interp)
+                    new_p.append(p2.reshape(p_leaf.shape))
+                else:
+                    g32 = g_leaf.astype(jnp.float32)
+                    ss = jnp.sum(jnp.square(g32))
+                    pad = r * blk - n
+
+                    def rows_of(x, dtype):
+                        return jnp.pad(x.reshape(-1).astype(dtype),
+                                       (0, pad)).reshape(r, blk)
+
+                    p_nat = p_leaf[layer]
+                    qm_r = jax.lax.dynamic_slice(
+                        qm, (layer, off, 0), (1, r, blk))[0]
+                    sm_r = jax.lax.dynamic_slice(
+                        sm, (layer, off, 0), (1, r, 1))[0]
+                    qn_r = jax.lax.dynamic_slice(
+                        qn, (layer, off, 0), (1, r, blk))[0]
+                    sn_r = jax.lax.dynamic_slice(
+                        sn, (layer, off, 0), (1, r, 1))[0]
+                    p2n, qm2, sm2, qn2, sn2 = _chunked_quant_update(
+                        rows_of(p_leaf[layer], p_leaf.dtype),
+                        rows_of(g_leaf, g_leaf.dtype),
+                        qm_r, sm_r, qn_r, sn_r,
+                        key=jax.random.fold_in(key, i), **upd_kw)
+                    new_rows = p2n.reshape(-1)[:n].reshape(p_nat.shape)
+                    new_p.append(p_leaf.at[layer].set(
+                        new_rows.astype(p_leaf.dtype)))
+                    qm = jax.lax.dynamic_update_slice(
+                        qm, qm2[None].astype(qm.dtype), (layer, off, 0))
+                    sm = jax.lax.dynamic_update_slice(
+                        sm, sm2[None], (layer, off, 0))
+                    qn = jax.lax.dynamic_update_slice(
+                        qn, qn2[None].astype(qn.dtype), (layer, off, 0))
+                    sn = jax.lax.dynamic_update_slice(
+                        sn, sn2[None], (layer, off, 0))
+                ss_tot = ss_tot + ss
+            return (jax.tree_util.tree_unflatten(treedef, new_p),
+                    {"q": qm, "scale": sm}, {"q": qn, "scale": sn}, ss_tot)
 
         ss_total = jnp.zeros((), jnp.float32)
 
@@ -581,7 +710,9 @@ def make_fused_joint_step(cfg, opt: OptimizerConfig, policy=None, *,
                     continue
                 k = jax.random.fold_in(base_key, i)
                 pn, mn, nn, ss = leaf_update(
-                    p, g_by[path], m_by[path], n_by[path], key=k, **upd_kw)
+                    p, g_by[path], m_by[path], n_by[path], key=k,
+                    use_pallas=use_pallas, pallas_interp=pallas_interp,
+                    **upd_kw)
                 ss_total = ss_total + ss
                 flat_new_p.append(pn)
                 flat_new_m.append(mn)
