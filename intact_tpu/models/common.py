@@ -132,14 +132,63 @@ def quantize_dense(p: Params) -> Params:
 
 
 # the default int8 coverage: every kernel under a "blocks" subtree plus the
-# multimodal projector — heads/embeddings/norms stay fp. Shared with the
-# bench's streamed init so benched int8 matches production int8.
-# transformer-block matmuls: scanned `blocks/` stacks AND the mvla expert's
-# scanned self/cross pair stacks (`expert/pairs/{self,cross}/...`) — the
-# Euler-loop hot path; excluding pairs would silently serve the expert fp
+# multimodal projector AND the AR unembedding (`lm_head`) — norms stay fp.
+# Shared with the bench's streamed init so benched int8 matches production
+# int8. transformer-block matmuls: scanned `blocks/` stacks AND the mvla
+# expert's scanned self/cross pair stacks (`expert/pairs/{self,cross}/...`)
+# — the Euler-loop hot path; excluding pairs would silently serve the
+# expert fp. lm_head/tied-embed coverage: one greedy-decode step streams
+# the whole unembedding (Magma lm_head 1.05 GB bf16, Gemma2 tied table
+# 1.18 GB) — at decode batch sizes that is the single largest per-token
+# HBM read after the trunk.
 QUANTIZE_DEFAULT_PATTERN = (
-    r".*((blocks|pairs/(self|cross))/(attn|mlp)/[a-z0-9_]+|img_proj)$"
+    r".*((blocks|pairs/(self|cross))/(attn|mlp)/[a-z0-9_]+|img_proj|lm_head)$"
 )
+
+# AR-family tied embeddings ("lm/embed"): quantized to int8 rows so the
+# tied unembed logits matmul streams 1 byte/weight. Scoped to LM trunks
+# that greedy-decode (spatialvla/magma serve path); pi0's vlm_embed is a
+# training-path table and stays fp.
+UNEMBED_QUANT_PATTERN = r".*lm/embed$"
+
+
+def quantize_embed(p: Params) -> Params:
+    """Embedding table [V, D] -> int8 rows + per-row scale.
+
+    Serves both directions: `embed_lookup` gathers+rescales B rows (cheap,
+    exact per-row relative error <= 1/254), and `unembed_logits` runs the
+    tied unembedding as a W8A8 int8 matmul streaming 1 byte/weight."""
+    emb = jnp.asarray(p["embedding"], jnp.float32)
+    scale = jnp.max(jnp.abs(emb), axis=-1, keepdims=True) / 127.0  # [V, 1]
+    scale = jnp.maximum(scale, 1e-12)
+    return {
+        "embedding_q": jnp.round(emb / scale).astype(jnp.int8),
+        "embed_scale": jnp.squeeze(scale, axis=-1),  # [V]
+    }
+
+
+def unembed_logits(p: Params, hidden: jnp.ndarray,
+                   policy: "DtypePolicy" = None) -> jnp.ndarray:
+    """Tied unembedding: hidden [..., D] x embed [V, D]^T -> f32 [..., V].
+
+    Quantized tables take the W8A8 path (per-token activation scales x
+    per-vocab-row weight scales on the int8 MXU)."""
+    policy = policy or DEFAULT_POLICY
+    if "embedding_q" not in p:
+        emb = p["embedding"].astype(policy.compute_dtype)
+        return jnp.dot(hidden.astype(policy.compute_dtype),
+                       emb.T).astype(jnp.float32)
+    amax = jnp.max(jnp.abs(hidden.astype(jnp.float32)), axis=-1,
+                   keepdims=True)
+    x_scale = jnp.maximum(amax, 1e-6) / 127.0
+    xq = jnp.round(hidden.astype(jnp.float32) / x_scale).astype(jnp.int8)
+    yq = jax.lax.dot_general(
+        xq, p["embedding_q"],
+        dimension_numbers=(((hidden.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return (yq.astype(jnp.float32) * x_scale
+            * p["embed_scale"].astype(jnp.float32))
 
 
 def quantize_params(params: Params, path_filter=None) -> Params:
@@ -151,6 +200,7 @@ def quantize_params(params: Params, path_filter=None) -> Params:
     import re
 
     default = re.compile(QUANTIZE_DEFAULT_PATTERN)
+    embed_re = re.compile(UNEMBED_QUANT_PATTERN)
 
     def walk(node, path=""):
         if isinstance(node, dict):
@@ -158,6 +208,9 @@ def quantize_params(params: Params, path_filter=None) -> Params:
                 path_filter(path) if path_filter else default.match(path)
             ):
                 return quantize_dense(node)
+            if "embedding" in node and path_filter is None \
+                    and embed_re.match(path):
+                return quantize_embed(node)
             return {k: walk(v, f"{path}/{k}" if path else k) for k, v in node.items()}
         return node
 
@@ -238,6 +291,12 @@ def streamed_quantized_init(
             {"kernel": jax.random.normal(k, shape, jnp.bfloat16) * 0.02}
         )
 
+    @functools.partial(jax.jit, static_argnums=(1,))
+    def _rand_embed(k, shape):
+        return quantize_embed(
+            {"embedding": jax.random.normal(k, shape, jnp.bfloat16) * 0.02}
+        )
+
     def _next_key():
         counter[0] += 1
         return jax.random.fold_in(key, counter[0])
@@ -248,12 +307,16 @@ def streamed_quantized_init(
             out["bias"] = jnp.zeros(node["bias"].shape, policy.param_dtype)
         return out
 
+    def make_embed(node):
+        return dict(_rand_embed(_next_key(), tuple(node["embedding"].shape)))
+
     def make_leaf(node):
         return _rand_leaf(
             _next_key(), tuple(node.shape), jnp.dtype(policy.param_dtype)
         )
 
-    return _streamed_tree(template, make_dense, make_leaf, path_filter, shardings)
+    return _streamed_tree(template, make_dense, make_leaf, path_filter,
+                          shardings, make_embed=make_embed)
 
 
 def quantize_host_tree(
@@ -272,12 +335,17 @@ def quantize_host_tree(
     QUANTIZED structure.
     """
     quant = jax.jit(lambda k: quantize_dense({"kernel": k}))
+    quant_emb = jax.jit(lambda e: quantize_embed({"embedding": e}))
 
     def make_dense(node):
         out = dict(quant(jnp.asarray(node["kernel"], policy.compute_dtype)))
         if "bias" in node:
             out["bias"] = jnp.asarray(node["bias"], policy.param_dtype)
         return out
+
+    def make_embed(node):
+        return dict(quant_emb(
+            jnp.asarray(node["embedding"], policy.compute_dtype)))
 
     def make_leaf(node):
         # stays a HOST array: _place device_puts it straight onto its
@@ -289,21 +357,26 @@ def quantize_host_tree(
 
         return np.asarray(node).astype(policy.param_dtype, copy=False)
 
-    return _streamed_tree(raw, make_dense, make_leaf, path_filter, shardings)
+    return _streamed_tree(raw, make_dense, make_leaf, path_filter, shardings,
+                          make_embed=make_embed)
 
 
-def _streamed_tree(tree, make_dense, make_leaf, path_filter, shardings):
+def _streamed_tree(tree, make_dense, make_leaf, path_filter, shardings,
+                   make_embed=None):
     """Shared walker behind streamed_quantized_init / quantize_host_tree.
 
     Walks `tree` leaf by leaf: dense nodes matching the quantize filter are
     replaced wholesale by make_dense(node) (-> {kernel_q, kernel_scale[,
-    bias]}), every other leaf by make_leaf(leaf); each produced array is
-    placed on its sharding (a tree over the QUANTIZED structure) immediately,
-    so at most one unplaced leaf exists at a time.
+    bias]}), AR tied-embed nodes (UNEMBED_QUANT_PATTERN) by
+    make_embed(node) (-> {embedding_q, embed_scale}), every other leaf by
+    make_leaf(leaf); each produced array is placed on its sharding (a tree
+    over the QUANTIZED structure) immediately, so at most one unplaced
+    leaf exists at a time.
     """
     import re
 
     default = re.compile(QUANTIZE_DEFAULT_PATTERN)
+    embed_re = re.compile(UNEMBED_QUANT_PATTERN)
     match = path_filter or default.match
 
     def _place(leaf, shard):
@@ -318,6 +391,12 @@ def _streamed_tree(tree, make_dense, make_leaf, path_filter, shardings):
                     name: _place(leaf, shard_node[name] if shard_node else None)
                     for name, leaf in make_dense(node).items()
                 }
+            if "embedding" in node and path_filter is None \
+                    and make_embed is not None and embed_re.match(path):
+                return {
+                    name: _place(leaf, shard_node[name] if shard_node else None)
+                    for name, leaf in make_embed(node).items()
+                }
             return {
                 k: walk(v, shard_node[k] if shard_node else None,
                         f"{path}/{k}" if path else k)
@@ -331,6 +410,11 @@ def _streamed_tree(tree, make_dense, make_leaf, path_filter, shardings):
 def embed_lookup(p: Params, ids: jnp.ndarray, policy: DtypePolicy = DEFAULT_POLICY) -> jnp.ndarray:
     # mode="clip": jnp.take's default out-of-bounds fill is NaN, which turns a
     # tokenizer/vocab mismatch into silent NaN loss — clip instead
+    if "embedding_q" in p:  # int8 rows + per-row scale (quantize_embed)
+        rows = jnp.take(p["embedding_q"], ids, axis=0, mode="clip")
+        scale = jnp.take(p["embed_scale"], ids, axis=0, mode="clip")
+        return (rows.astype(jnp.float32)
+                * scale[..., None]).astype(policy.compute_dtype)
     return jnp.take(p["embedding"], ids, axis=0, mode="clip").astype(policy.compute_dtype)
 
 

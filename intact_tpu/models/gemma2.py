@@ -177,9 +177,11 @@ def forward(
 
 
 def logits(params, hidden, cfg: Gemma2Config, policy=DEFAULT_POLICY):
-    """Tied-embedding head with final softcapping."""
-    emb = params["embed"]["embedding"].astype(policy.compute_dtype)
-    out = jnp.dot(hidden, emb.T).astype(jnp.float32)
+    """Tied-embedding head with final softcapping. Quantized tables
+    (cm.quantize_embed serving form) stream int8 through the unembed
+    matmul — one greedy-decode step otherwise re-reads the whole 1.18 GB
+    bf16 table."""
+    out = cm.unembed_logits(params["embed"], hidden, policy)
     cap = cfg.final_logit_softcap
     return cap * jnp.tanh(out / cap)
 

@@ -144,8 +144,9 @@ def forward(
 
 def logits(params, hidden, cfg: LlamaConfig, policy=DEFAULT_POLICY):
     if cfg.tie_embeddings or "lm_head" not in params:
-        emb = params["embed"]["embedding"].astype(policy.compute_dtype)
-        return jnp.dot(hidden, emb.T).astype(jnp.float32)
+        return cm.unembed_logits(params["embed"], hidden, policy)
+    # untied head: cm.dense dispatches to the W8A8 path when the serving
+    # tree carries int8 lm_head weights (QUANTIZE_DEFAULT_PATTERN)
     return cm.dense(params["lm_head"], hidden, policy).astype(jnp.float32)
 
 

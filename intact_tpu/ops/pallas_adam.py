@@ -12,7 +12,8 @@ THE KERNEL reads each byte exactly once and writes each byte exactly
 once, all in place:
 
   in : p[L, r, B] (bf16)   g[r, B]   qm/qn[L, NB, B] (fp8/f32 moments)
-       sm/sn[L, NB, 1] (f32 block scales)
+       sm/sn[L, NB] (f32 block scales; 2-D — a trailing length-1 dim
+       tile-pads 128x in f32 T(8,128) layouts)
   out: p' (aliased), qm'/sm'/qn'/sn' (aliased), ss (sum of squared raw
        gradients, for the exact global-norm metric)
 
@@ -81,9 +82,17 @@ def _kernel(ls_ref, hyp_ref, p_ref, g_ref, qm_ref, sm_ref, qn_ref, sn_ref,
     ss_out[0, 0] += jnp.sum(g32 * g32)
 
     g32 = g32 * clip
+    layer = ls_ref[0]
     if fp8:
-        mu = qm_ref[0].astype(jnp.float32) * sm_ref[0]
-        nu = qn_ref[0].astype(jnp.float32) * sn_ref[0]
+        # scales are stored [L, NB] (a trailing length-1 dim would tile-pad
+        # 128x in f32 T(8,128) layouts — measured 504 MB per array of pure
+        # padding). The block carries ALL L rows (TPU blocks need sublane
+        # % 8 == 0 or == the full dim; L is the full dim) — ~9 KB — and
+        # the kernel selects/rewrites row `layer` in place.
+        mu = qm_ref[0].astype(jnp.float32) \
+            * sm_ref[pl.ds(layer, 1), :].reshape(-1, 1)
+        nu = qn_ref[0].astype(jnp.float32) \
+            * sn_ref[pl.ds(layer, 1), :].reshape(-1, 1)
     else:
         mu = qm_ref[0]
         nu = qn_ref[0]
@@ -108,20 +117,25 @@ def _kernel(ls_ref, hyp_ref, p_ref, g_ref, qm_ref, sm_ref, qn_ref, sn_ref,
         p_out[0] = exact.astype(out_dtype)
 
     if fp8:
-        def enc(x, dtype, s_out):
+        def enc(x, dtype, s_in, s_out):
             scale = jnp.max(jnp.abs(x), axis=1, keepdims=True) \
                 / _FP8_MAX[jnp.dtype(dtype)]
             scale = jnp.maximum(scale, jnp.finfo(jnp.float32).tiny)
-            s_out[0] = scale
+            # rewrite only row `layer` of the (L, R) scale block
+            all_rows = s_in[...]
+            row_ids = jax.lax.broadcasted_iota(
+                jnp.int32, all_rows.shape, 0)
+            s_out[...] = jnp.where(row_ids == layer,
+                                   scale.reshape(1, -1), all_rows)
             return (x / scale).astype(dtype)
 
-        qm_out[0] = enc(mu, qm_out.dtype, sm_out)
-        qn_out[0] = enc(nu, qn_out.dtype, sn_out)
+        qm_out[0] = enc(mu, qm_out.dtype, sm_ref, sm_out)
+        qn_out[0] = enc(nu, qn_out.dtype, sn_ref, sn_out)
     else:
         qm_out[0] = mu
-        sm_out[0] = sm_ref[0]
+        sm_out[...] = sm_ref[...]
         qn_out[0] = nu
-        sn_out[0] = sn_ref[0]
+        sn_out[...] = sn_ref[...]
 
 
 def fused_adam_rows(p_stack, g_rows, qm, sm, qn, sn, *, layer, seed,
@@ -130,10 +144,10 @@ def fused_adam_rows(p_stack, g_rows, qm, sm, qn, sn, *, layer, seed,
     """One leaf's in-place row update.
 
     p_stack: [L, r, B] params; g_rows: [r, B] this layer's gradient;
-    qm/sm/qn/sn: the FULL per-tree packed moment arrays [L, NB, B] /
-    [L, NB, 1] — the leaf owns rows [row_offset, row_offset + r) of
-    layer `layer`. Returns (p_stack', qm', sm', qn', sn', ss) with the
-    five arrays updated in place (pass them donated).
+    qm/qn: the FULL per-tree packed moment arrays [L, NB, B]; sm/sn their
+    per-row scales [L, NB] — the leaf owns rows [row_offset, row_offset
+    + r) of layer `layer`. Returns (p_stack', qm', sm', qn', sn', ss)
+    with the five arrays updated in place (pass them donated).
     """
     L, r, B = p_stack.shape
     assert g_rows.shape == (r, B), (g_rows.shape, (r, B))
@@ -143,14 +157,20 @@ def fused_adam_rows(p_stack, g_rows, qm, sm, qn, sn, *, layer, seed,
         raise ValueError(f"unsupported moment dtypes {qm.dtype}/{qn.dtype}")
 
     grid = (r // ROW_TILE,)
-    off = row_offset // ROW_TILE  # index maps address in block units
     assert row_offset % ROW_TILE == 0, row_offset
 
+    # layer AND the row offset are scalar-prefetch-dynamic: kernels then
+    # specialize only on (shapes, dtypes, flags) — each distinct Mosaic
+    # compile costs minutes through the tunnel, so leaves sharing a shape
+    # share one kernel
     def p_map(i, ls):
         return (ls[0], i, 0)
 
     def m_map(i, ls):
-        return (ls[0], off + i, 0)
+        return (ls[0], ls[2] + i, 0)
+
+    def s_map(i, ls):  # scale arrays are 2-D [L, NB]; block takes all L rows
+        return (0, ls[2] + i)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -161,16 +181,16 @@ def fused_adam_rows(p_stack, g_rows, qm, sm, qn, sn, *, layer, seed,
             pl.BlockSpec((1, ROW_TILE, B), p_map),            # p
             pl.BlockSpec((ROW_TILE, B), lambda i, ls: (i, 0)),  # g
             pl.BlockSpec((1, ROW_TILE, B), m_map),            # qm
-            pl.BlockSpec((1, ROW_TILE, 1), m_map),            # sm
+            pl.BlockSpec((L, ROW_TILE), s_map),               # sm [L, NB]
             pl.BlockSpec((1, ROW_TILE, B), m_map),            # qn
-            pl.BlockSpec((1, ROW_TILE, 1), m_map),            # sn
+            pl.BlockSpec((L, ROW_TILE), s_map),               # sn [L, NB]
         ],
         out_specs=[
             pl.BlockSpec((1, ROW_TILE, B), p_map),
             pl.BlockSpec((1, ROW_TILE, B), m_map),
-            pl.BlockSpec((1, ROW_TILE, 1), m_map),
+            pl.BlockSpec((L, ROW_TILE), s_map),
             pl.BlockSpec((1, ROW_TILE, B), m_map),
-            pl.BlockSpec((1, ROW_TILE, 1), m_map),
+            pl.BlockSpec((L, ROW_TILE), s_map),
             pl.BlockSpec((1, 1), lambda i, ls: (0, 0),
                          memory_space=pltpu.SMEM),            # ss
         ],
@@ -181,7 +201,8 @@ def fused_adam_rows(p_stack, g_rows, qm, sm, qn, sn, *, layer, seed,
         stochastic=stochastic, out_dtype=p_stack.dtype)
 
     ls = jnp.stack([jnp.asarray(layer, jnp.int32),
-                    jnp.asarray(seed, jnp.int32)])
+                    jnp.asarray(seed, jnp.int32),
+                    jnp.asarray(row_offset // ROW_TILE, jnp.int32)])
     hyp = jnp.stack([c1, c2, lr, clip_factor]).astype(jnp.float32)[None, :]
 
     p2, qm2, sm2, qn2, sn2, ss = pl.pallas_call(

@@ -25,8 +25,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 # first-match-wins; paths are "/"-joined key paths like
 # "vlm/blocks/attn/q/kernel"
 DEFAULT_RULES: list[tuple[str, P]] = [
-    # embeddings
-    (r".*embed/embedding$", P("tensor", "fsdp")),
+    # embeddings (embedding_q/embed_scale: int8 serving form, same layout)
+    (r".*embed/embedding(_q)?$", P("tensor", "fsdp")),
+    (r".*embed/embed_scale$", P("tensor")),
+    # AR unembedding (magma lm_head) — [D, V]: contraction over fsdp
+    (r".*lm_head/kernel(_q)?$", P("fsdp", "tensor")),
     # attention projections (stacked: leading layer axis)
     (r".*blocks/attn/[qkv]/kernel(_q)?$", P(None, "fsdp", "tensor")),
     (r".*blocks/attn/o/kernel(_q)?$", P(None, "tensor", "fsdp")),

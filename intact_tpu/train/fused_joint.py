@@ -23,7 +23,7 @@ forward from the saved layer-input carries via `jax.vjp` (same recompute
 a `jax.checkpoint` scan body does).
 
 PACKED TRUNK MOMENTS: each trunk tree's (vlm / expert blocks) moments are
-ONE int8 array `q[L, NB, block]` + `scale[L, NB, 1]`, with every leaf's
+ONE int8 array `q[L, NB, block]` + `scale[L, NB]`, with every leaf's
 layer-row flattened into a fixed row range (`TrunkPack`). The per-layer
 update is then a single chunked decode→adam→encode `lax.map` per tree —
 a per-leaf formulation (9 maps × 4 encodes per tree per layer) produced
@@ -35,11 +35,18 @@ before layer 0's gradient exists. It therefore clips with the PREVIOUS
 step's global norm ("delayed clipping", clip_mode="delayed"): factor_t =
 min(1, max_norm / ||g||_{t-1}), with factor_0 = 1. The exact current
 norm IS computed and reported each step (`grad_norm`), so the delay is
-observable. Gradient norms move slowly relative to one step; for exact
+observable. MEASURED (tests/test_fused_joint.py::TestDelayedClipTrajectory,
+2026-08-20): even in an adversarial regime (clip binding every step at
+10x below the typical norm, fast-fluctuating tiny-model norms) the
+smoothed training curves track exact clipping within an 18% bounded
+transient converging to ~3.5% at the plateau, while the chaos floor of
+the comparison is <1e-4 — i.e. the delta is real but bounded and
+convergent; in the production regime (norms near max_norm, drifting
+slowly) the per-step factor error is correspondingly tiny. For exact
 reference clipping semantics use the standard (unfused) step on hardware
 with the memory for it (e.g. ≥2-chip FSDP). tests/test_fused_joint.py
-pins the fused step == standard autodiff step to float tolerance when
-clipping is inactive.
+also pins the fused step == standard autodiff step to float tolerance
+when clipping is inactive.
 
 Scope: pi0-family joint recipe (the only full-tower recipe the reference
 has). Frozen set is exactly {vlm_embed}.
@@ -220,7 +227,9 @@ def init_fused_state(params, seed: int, block_size: int = 2048,
                 out[name] = {
                     "blocks": {
                         "q": q0,
-                        "scale": jnp.zeros((L, pack.nb, 1), jnp.float32),
+                        # 2-D scales: a trailing length-1 dim tile-pads 128x in
+                        # f32 T(8,128) layouts (504 MB of padding per array)
+                        "scale": jnp.zeros((L, pack.nb), jnp.float32),
                     },
                     "final_norm": jax.tree.map(
                         lambda p: jnp.zeros(p.shape, jnp.float32),
@@ -233,7 +242,7 @@ def init_fused_state(params, seed: int, block_size: int = 2048,
                     nb = -(-p.size // block_size)
                     return {
                         "q": zero_q((nb, block_size), signed),
-                        "scale": jnp.zeros((nb, 1), jnp.float32),
+                        "scale": jnp.zeros((nb,), jnp.float32),
                     }
                 return jnp.zeros(p.shape, jnp.float32)
 
@@ -400,17 +409,17 @@ def leaf_update(p, g, mu_s, nu_s, *, c1, c2, lr, clip_factor, hp,
         p2, qm2, sm2, qn2, sn2, ss = pallas_adam.fused_adam_rows(
             p.reshape(1, r, block_size), g.reshape(r, block_size),
             mu_s["q"].reshape(1, r, block_size),
-            mu_s["scale"].reshape(1, r, 1),
+            mu_s["scale"].reshape(1, r),
             nu_s["q"].reshape(1, r, block_size),
-            nu_s["scale"].reshape(1, r, 1),
+            nu_s["scale"].reshape(1, r),
             layer=0, seed=seed, c1=c1, c2=c2, lr=lr,
             clip_factor=clip_factor, hp=hp, row_offset=0,
             stochastic=stochastic, interpret=pallas_interp)
         return (p2.reshape(p.shape),
                 {"q": qm2.reshape(nb, block_size),
-                 "scale": sm2.reshape(nb, 1)},
+                 "scale": sm2.reshape(nb)},
                 {"q": qn2.reshape(nb, block_size),
-                 "scale": sn2.reshape(nb, 1)}, ss)
+                 "scale": sn2.reshape(nb)}, ss)
 
     g32 = g.astype(jnp.float32)
     ss = jnp.sum(jnp.square(g32))
@@ -420,11 +429,13 @@ def leaf_update(p, g, mu_s, nu_s, *, c1, c2, lr, clip_factor, hp,
         return flat.reshape(nb, block_size)
 
     p2, qm2, sm2, qn2, sn2 = _chunked_quant_update(
-        to_rows(p), to_rows(g), mu_s["q"], mu_s["scale"], nu_s["q"],
-        nu_s["scale"], c1=c1, c2=c2, lr=lr, clip_factor=clip_factor, hp=hp,
-        key=key, stochastic=stochastic, block_size=block_size)
+        to_rows(p), to_rows(g), mu_s["q"], mu_s["scale"][:, None],
+        nu_s["q"], nu_s["scale"][:, None], c1=c1, c2=c2, lr=lr,
+        clip_factor=clip_factor, hp=hp, key=key, stochastic=stochastic,
+        block_size=block_size)
     p_new = p2.reshape(-1)[:n].reshape(p.shape).astype(p.dtype)
-    return (p_new, {"q": qm2, "scale": sm2}, {"q": qn2, "scale": sn2}, ss)
+    return (p_new, {"q": qm2, "scale": sm2[:, 0]},
+            {"q": qn2, "scale": sn2[:, 0]}, ss)
 
 
 # ---------------------------------------------------------------------------
@@ -611,17 +622,18 @@ def make_fused_joint_step(cfg, opt: OptimizerConfig, policy=None, *,
                 p_rows = jax.tree.map(lambda a: a[layer], stack_tree)
                 p2 = pack.pack(p_rows)
                 p2n, qm, sm, qn, sn = _chunked_quant_update(
-                    p2, g2, mom_mu["q"][layer], mom_mu["scale"][layer],
-                    mom_nu["q"][layer], mom_nu["scale"][layer],
+                    p2, g2, mom_mu["q"][layer],
+                    mom_mu["scale"][layer][:, None],
+                    mom_nu["q"][layer], mom_nu["scale"][layer][:, None],
                     key=key, **upd_kw)
                 new_rows = pack.unpack(p2n)
                 stack_tree = jax.tree.map(
                     lambda a, r: a.at[layer].set(r.astype(a.dtype)),
                     stack_tree, new_rows)
                 mom_mu = {"q": mom_mu["q"].at[layer].set(qm),
-                          "scale": mom_mu["scale"].at[layer].set(sm)}
+                          "scale": mom_mu["scale"].at[layer].set(sm[:, 0])}
                 mom_nu = {"q": mom_nu["q"].at[layer].set(qn),
-                          "scale": mom_nu["scale"].at[layer].set(sn)}
+                          "scale": mom_nu["scale"].at[layer].set(sn[:, 0])}
                 return stack_tree, mom_mu, mom_nu, ss
 
             # ---- per-leaf Pallas path: every aligned leaf goes through
@@ -664,11 +676,11 @@ def make_fused_joint_step(cfg, opt: OptimizerConfig, policy=None, *,
                     qm_r = jax.lax.dynamic_slice(
                         qm, (layer, off, 0), (1, r, blk))[0]
                     sm_r = jax.lax.dynamic_slice(
-                        sm, (layer, off, 0), (1, r, 1))[0]
+                        sm, (layer, off), (1, r))[0][:, None]
                     qn_r = jax.lax.dynamic_slice(
                         qn, (layer, off, 0), (1, r, blk))[0]
                     sn_r = jax.lax.dynamic_slice(
-                        sn, (layer, off, 0), (1, r, 1))[0]
+                        sn, (layer, off), (1, r))[0][:, None]
                     p2n, qm2, sm2, qn2, sn2 = _chunked_quant_update(
                         rows_of(p_leaf[layer], p_leaf.dtype),
                         rows_of(g_leaf, g_leaf.dtype),
@@ -680,11 +692,11 @@ def make_fused_joint_step(cfg, opt: OptimizerConfig, policy=None, *,
                     qm = jax.lax.dynamic_update_slice(
                         qm, qm2[None].astype(qm.dtype), (layer, off, 0))
                     sm = jax.lax.dynamic_update_slice(
-                        sm, sm2[None], (layer, off, 0))
+                        sm, sm2[:, 0][None], (layer, off))
                     qn = jax.lax.dynamic_update_slice(
                         qn, qn2[None].astype(qn.dtype), (layer, off, 0))
                     sn = jax.lax.dynamic_update_slice(
-                        sn, sn2[None], (layer, off, 0))
+                        sn, sn2[:, 0][None], (layer, off))
                 ss_tot = ss_tot + ss
             return (jax.tree_util.tree_unflatten(treedef, new_p),
                     {"q": qm, "scale": sm}, {"q": qn, "scale": sn}, ss_tot)

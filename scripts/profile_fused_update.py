@@ -29,7 +29,11 @@ sys.path.insert(0, str(REPO))
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--rows-chunk", type=int, nargs="*", default=[256, 2048, 8192, 0])
+    ap.add_argument("--rows-chunk", type=int, nargs="*", default=[8192])
+    ap.add_argument("--pallas", action="store_true",
+                    help="per-leaf in-place kernel chain (ops/pallas_adam)")
+    ap.add_argument("--pallas-leaf", action="store_true",
+                    help="ONE kernel call on the biggest mlp leaf per layer")
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--tiny", action="store_true")
@@ -64,11 +68,94 @@ def main() -> int:
         lambda x: 1e-3 * jax.random.normal(k, x.shape[1:], jnp.bfloat16),
         params))(jax.random.key(1))
     mu = {"q": jnp.zeros((L, pack.nb, 2048), jnp.float8_e4m3fn),
-          "scale": jnp.zeros((L, pack.nb, 1), jnp.float32)}
+          "scale": jnp.zeros((L, pack.nb), jnp.float32)}
     nu = {"q": jnp.zeros((L, pack.nb, 2048), jnp.float8_e5m2),
-          "scale": jnp.zeros((L, pack.nb, 1), jnp.float32)}
+          "scale": jnp.zeros((L, pack.nb), jnp.float32)}
     hp = OptimizerConfig(lr=5e-5, weight_decay=0.0)
     drain_device_queue((params, g_rows, mu, nu))
+
+    from intact_tpu.ops import pallas_adam
+
+    def run_variant(name, fn, n_calls):
+        upd = jax.jit(fn, donate_argnums=(0, 2, 3))
+        key = jax.random.key(2)
+        p_, m_, n_ = params, mu, nu
+        p_, m_, n_, ss = upd(p_, g_rows, m_, n_, key)
+        np.asarray(ss)
+        ts = []
+        for _ in range(args.iters):
+            t0 = time.time()
+            p_, m_, n_, ss = upd(p_, g_rows, m_, n_, key)
+            np.asarray(ss)
+            ts.append(time.time() - t0)
+        med = sorted(ts)[len(ts) // 2] / n_calls
+        print(f"# {name}: {med*1e3:7.2f} ms/layer "
+              f"-> {med*1e3*2*(L-1):6.1f} ms/step for both trunks(approx)",
+              file=sys.stderr, flush=True)
+        del p_, m_, n_
+
+    def fresh():
+        return (
+            jax.jit(lambda k: jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16),
+                gemma.init_blocks(k, cfg.vlm)["blocks"]))(jax.random.key(0)),
+            {"q": jnp.zeros((L, pack.nb, 2048), jnp.float8_e4m3fn),
+             "scale": jnp.zeros((L, pack.nb), jnp.float32)},
+            {"q": jnp.zeros((L, pack.nb, 2048), jnp.float8_e5m2),
+             "scale": jnp.zeros((L, pack.nb), jnp.float32)},
+        )
+
+    if args.pallas or args.pallas_leaf:
+        leaves_tpl, treedef = jax.tree_util.tree_flatten(params)
+        big_i = max(range(len(leaves_tpl)),
+                    key=lambda i: pack.sizes[i] if pallas_adam.eligible(
+                        pack.sizes[i], 2048) else -1)
+
+        def body_pallas(layer, carry, only_leaf=None):
+            stack, m, n, ss_acc = carry
+            qm, sm = m["q"], m["scale"]
+            qn, sn = n["q"], n["scale"]
+            leaves_p = jax.tree_util.tree_leaves(stack)
+            leaves_g = jax.tree_util.tree_leaves(g_rows)
+            new_p = []
+            for i, (p_leaf, g_leaf) in enumerate(zip(leaves_p, leaves_g)):
+                nsz, r, off = pack.sizes[i], pack.rows[i], pack.offsets[i]
+                use = pallas_adam.eligible(nsz, 2048) and (
+                    only_leaf is None or i == only_leaf)
+                if not use:
+                    new_p.append(p_leaf)
+                    continue
+                p2, qm, sm, qn, sn, ss = pallas_adam.fused_adam_rows(
+                    p_leaf.reshape(L, r, 2048), g_leaf.reshape(r, 2048),
+                    qm, sm, qn, sn, layer=layer, seed=jnp.int32(1234 + i),
+                    c1=jnp.float32(0.1), c2=jnp.float32(0.001),
+                    lr=jnp.float32(5e-5), clip_factor=jnp.float32(1.0),
+                    hp=hp, row_offset=off, stochastic=True)
+                new_p.append(p2.reshape(p_leaf.shape))
+                ss_acc = ss_acc + ss
+            return (jax.tree_util.tree_unflatten(treedef, new_p),
+                    {"q": qm, "scale": sm}, {"q": qn, "scale": sn}, ss_acc)
+
+        if args.pallas:
+            run_variant("pallas all-leaf chain", lambda s_, g_, m_, n_, k_:
+                        jax.lax.fori_loop(0, L, lambda l, c: body_pallas(l, c),
+                                          (s_, m_, n_, jnp.float32(0.0))), L)
+            params, mu, nu = fresh()
+            drain_device_queue((params, mu, nu))
+        if args.pallas_leaf:
+            frac = pack.sizes[big_i] * 1.0 / sum(
+                sz for i, sz in enumerate(pack.sizes)
+                if pallas_adam.eligible(sz, 2048))
+            print(f"# single leaf = {pack.sizes[big_i]/1e6:.1f}M elems "
+                  f"({100*frac:.0f}% of aligned tree)", file=sys.stderr)
+            run_variant(
+                f"pallas single-leaf[{big_i}]",
+                lambda s_, g_, m_, n_, k_:
+                jax.lax.fori_loop(0, L,
+                                  lambda l, c: body_pallas(l, c, big_i),
+                                  (s_, m_, n_, jnp.float32(0.0))), L)
+            params, mu, nu = fresh()
+            drain_device_queue((params, mu, nu))
 
     for rc in args.rows_chunk:
         rows_chunk = pack.nb if rc == 0 else rc
@@ -83,8 +170,8 @@ def main() -> int:
                 ss = jnp.sum(jnp.square(g2.astype(jnp.float32)))
                 p2 = pack.pack(jax.tree.map(lambda a: a[layer], stack))
                 p2n, qm, sm, qn, sn = fj._chunked_quant_update(
-                    p2, g2, m["q"][layer], m["scale"][layer],
-                    n["q"][layer], n["scale"][layer],
+                    p2, g2, m["q"][layer], m["scale"][layer][:, None],
+                    n["q"][layer], n["scale"][layer][:, None],
                     c1=0.1, c2=0.001, lr=jnp.float32(5e-5),
                     clip_factor=jnp.float32(1.0), hp=hp,
                     key=jax.random.fold_in(key, layer),
@@ -93,9 +180,9 @@ def main() -> int:
                     lambda a, r: a.at[layer].set(r.astype(a.dtype)),
                     stack, pack.unpack(p2n))
                 m = {"q": m["q"].at[layer].set(qm),
-                     "scale": m["scale"].at[layer].set(sm)}
+                     "scale": m["scale"].at[layer].set(sm[:, 0])}
                 n = {"q": n["q"].at[layer].set(qn),
-                     "scale": n["scale"].at[layer].set(sn)}
+                     "scale": n["scale"].at[layer].set(sn[:, 0])}
                 return stack, m, n, ss_acc + ss
 
             return jax.lax.fori_loop(
@@ -123,9 +210,9 @@ def main() -> int:
             lambda x: x.astype(jnp.bfloat16),
             gemma.init_blocks(k, cfg.vlm)["blocks"]))(jax.random.key(0))
         mu = {"q": jnp.zeros((L, pack.nb, 2048), jnp.float8_e4m3fn),
-              "scale": jnp.zeros((L, pack.nb, 1), jnp.float32)}
+              "scale": jnp.zeros((L, pack.nb), jnp.float32)}
         nu = {"q": jnp.zeros((L, pack.nb, 2048), jnp.float8_e5m2),
-              "scale": jnp.zeros((L, pack.nb, 1), jnp.float32)}
+              "scale": jnp.zeros((L, pack.nb), jnp.float32)}
         drain_device_queue((params, mu, nu))
     return 0
 

@@ -218,3 +218,62 @@ class TestNativeWrapperInt8:
         out = w.infer_batch([(w.warmup_inputs(), w.new_session())])
         assert not isinstance(out[0], Exception), out[0]
         assert np.isfinite(np.asarray(out[0])).all()
+
+
+class TestQuantizedEmbed:
+    """int8 tied-embed serving form (cm.quantize_embed): lookup and the
+    unembed logits matmul — the per-decode-step table stream halves."""
+
+    def test_lookup_and_unembed_close_to_fp(self):
+        key = jax.random.key(0)
+        emb = {"embedding": jax.random.normal(key, (64, 32))}
+        q = cm.quantize_embed(emb)
+        assert q["embedding_q"].dtype == jnp.int8
+        assert q["embed_scale"].shape == (64,)
+
+        ids = jnp.array([[0, 5, 63], [7, 1, 2]])
+        fp = cm.embed_lookup(emb, ids, FP32)
+        qq = cm.embed_lookup(q, ids, FP32)
+        rel = float(jnp.abs(fp - qq).max() / jnp.abs(fp).max())
+        assert rel < 1e-2, rel
+
+        h = jax.random.normal(jax.random.key(1), (3, 32))
+        lf = cm.unembed_logits(emb, h, FP32)
+        lq = cm.unembed_logits(q, h, FP32)
+        rel = float(jnp.abs(lf - lq).max() / jnp.abs(lf).max())
+        assert rel < 3e-2, rel
+        # greedy argmax agreement on well-separated logits
+        agree = float(jnp.mean(jnp.argmax(lf, -1) == jnp.argmax(lq, -1)))
+        assert agree >= 2 / 3, agree
+
+    def test_quantize_params_covers_lm_embed_and_lm_head(self):
+        from intact_tpu.models import llama
+
+        cfg = llama.tiny_test_config()
+        lm = llama.init(jax.random.key(0), cfg)
+        tree = {"lm": lm, "other_embed": {"embedding": jnp.ones((4, 8))}}
+        qp = cm.quantize_params(tree)
+        assert "embedding_q" in qp["lm"]["embed"]
+        if "lm_head" in lm:
+            assert "kernel_q" in qp["lm"]["lm_head"]
+        # non-LM embeddings stay fp
+        assert "embedding" in qp["other_embed"]
+
+    def test_gemma2_decode_int8_tracks_fp(self):
+        from intact_tpu.models import gemma2
+
+        cfg = gemma2.tiny_test_config()
+        params = gemma2.init(jax.random.key(0), cfg)
+        qp = cm.quantize_params({"lm": params})["lm"]
+        b, p_len = 2, 5
+        emb = jax.random.normal(jax.random.key(1), (b, p_len, cfg.width)) * 0.3
+        mask = jnp.ones((b, p_len), bool)
+        t_fp = gemma2.greedy_decode(params, emb, mask, 6, cfg, FP32,
+                                    prefix_full_attention=True)
+        t_q = gemma2.greedy_decode(qp, emb, mask, 6, cfg, FP32,
+                                   prefix_full_attention=True)
+        # random tiny logits are near-ties; demand majority agreement and
+        # identical shapes/finiteness rather than token-for-token equality
+        assert t_q.shape == t_fp.shape
+        agree = float(jnp.mean(t_q == t_fp))
+        assert agree >= 0.5, agree

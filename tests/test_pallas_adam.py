@@ -29,15 +29,16 @@ OPT = OptimizerConfig(lr=1e-3, weight_decay=1e-4, warmup_steps=2,
 
 
 def _moment_rows(key, shape, dtype):
+    """-> (q rows, scales) — scales are 2-D/1-D [..., NB] (no trailing 1)."""
     x = jax.random.normal(key, shape, jnp.float32) * 0.1
     if dtype == jnp.float32:
-        return x, jnp.zeros((*shape[:-1], 1), jnp.float32)
+        return x, jnp.zeros(shape[:-1], jnp.float32)
     cap = 448.0 if dtype == jnp.float8_e4m3fn else 57344.0
     if dtype == jnp.float8_e5m2:
         x = jnp.abs(x)  # nu is non-negative
     scale = jnp.max(jnp.abs(x), axis=-1, keepdims=True) / cap
     scale = jnp.maximum(scale, jnp.finfo(jnp.float32).tiny)
-    return (x / scale).astype(dtype), scale
+    return (x / scale).astype(dtype), jnp.squeeze(scale, -1)
 
 
 class TestKernelParity:
@@ -64,8 +65,9 @@ class TestKernelParity:
 
         # reference: the XLA chain on the same rows
         rp, rqm, rsm, rqn, rsn = _chunked_quant_update(
-            p[layer], g, qm[layer, off:off + r], sm[layer, off:off + r],
-            qn[layer, off:off + r], sn[layer, off:off + r],
+            p[layer], g, qm[layer, off:off + r],
+            sm[layer, off:off + r][:, None],
+            qn[layer, off:off + r], sn[layer, off:off + r][:, None],
             c1=c1, c2=c2, lr=lr, clip_factor=clip, hp=OPT,
             key=jax.random.key(1), stochastic=False, block_size=B)
 
@@ -75,7 +77,7 @@ class TestKernelParity:
             np.asarray(qm2[layer, off:off + r].astype(jnp.float32)),
             np.asarray(rqm.astype(jnp.float32)))
         np.testing.assert_allclose(np.asarray(sm2[layer, off:off + r]),
-                                   np.asarray(rsm), rtol=1e-6)
+                                   np.asarray(rsm[:, 0]), rtol=1e-6)
         np.testing.assert_allclose(
             np.asarray(qn2[layer, off:off + r].astype(jnp.float32)),
             np.asarray(rqn.astype(jnp.float32)))
