@@ -282,7 +282,8 @@ def _adam_math(g, mu, nu, c1, c2, hp):
 
 def _chunked_quant_update(p2, g2, qm, sm, qn, sn, *, c1, c2, lr, clip_factor,
                           hp, key, stochastic, block_size,
-                          rows_chunk: int | None = None):
+                          rows_chunk: int | None = None,
+                          scale_mode: str = "exact"):
     """Core blocked update on flat [NB, block] views.
 
     p2/g2: [NB, block] (padding rows are zeros); qm/sm/qn/sn: moment rows.
@@ -351,6 +352,21 @@ def _chunked_quant_update(p2, g2, qm, sm, qn, sn, *, c1, c2, lr, clip_factor,
             return pc_new, mu, smc, nu, snc
 
         if mode == "fp8":
+            if scale_mode == "bound":
+                # analytic scale recurrence (see _fused_rows_update): the
+                # only reduction reads g, so the chunk body fuses into
+                # bandwidth-shaped passes with no fp32 moment round trip
+                gmax = jnp.max(jnp.abs(gc), axis=1, keepdims=True)
+                m_max = FP8_MAX[jnp.dtype(qmc.dtype)]
+                n_max = FP8_MAX[jnp.dtype(qnc.dtype)]
+                sm2 = hp.betas[0] * smc + (1.0 - hp.betas[0]) * gmax / m_max
+                sn2 = (hp.betas[1] * snc
+                       + (1.0 - hp.betas[1]) * jnp.square(gmax) / n_max)
+                sm2 = jnp.maximum(sm2, jnp.finfo(jnp.float32).tiny)
+                sn2 = jnp.maximum(sn2, jnp.finfo(jnp.float32).tiny)
+                return (pc_new, (mu / sm2).astype(qmc.dtype), sm2,
+                        (nu / sn2).astype(qnc.dtype), sn2)
+
             def enc8(x, dtype):
                 scale = jnp.max(jnp.abs(x), axis=1, keepdims=True) \
                     / FP8_MAX[jnp.dtype(dtype)]
@@ -381,9 +397,67 @@ def _chunked_quant_update(p2, g2, qm, sm, qn, sn, *, c1, c2, lr, clip_factor,
             unpad(qn2, block_size), unpad(sn2, 1))
 
 
+def _fused_rows_update(p2, g2, qm, sm, qn, sn, *, c1, c2, lr, clip_factor,
+                       hp, key, stochastic, scale_mode: str = "bound"):
+    """Single-fusion row update on flat [R, block] views — the hot XLA path.
+
+    Replaces the chunked ``lax.map`` formulation for fp8/exact moments.
+    The chunked path forced XLA to materialize the fp32 decoded moments in
+    HBM around the re-encode absmax reduction (mu/nu fp32 write+read is
+    16 extra bytes/elem against a 10 byte/elem information flow — measured
+    343 ms of a 1193 ms batch-24 bridge step). Here the whole decode ->
+    adam -> p-write -> encode chain is elementwise, and with
+    ``scale_mode="bound"`` the re-encode scales come from the analytic
+    recurrence
+
+        448*s_mu'  = b1*(448*s_mu)   + (1-b1)*rowmax|g_c|        (e4m3)
+        57344*s_nu'= b2*(57344*s_nu) + (1-b2)*rowmax(g_c)^2      (e5m2)
+
+    which upper-bounds |mu'| (resp. nu') by induction — stored fp8 codes
+    are bounded by the format max, so |mu| <= 448*s_mu always. The ONLY
+    reduction then reads g alone (fused with the grad-norm sum), and XLA
+    emits ~2 bandwidth-shaped passes over the leaf instead of 4+. The
+    bound is <= 2x loose in the worst (anti-correlated) case — <= 1 bit
+    of the fp8 mantissa; ``test_quantized_step_tracks_exact`` pins the
+    trajectory drift.
+
+    p2/g2: [R, block]; qm/qn: [R, block] fp8 (or fp32 = exact mode);
+    sm/sn: [R, 1] scales. Returns (p2', qm', sm', qn', sn').
+    """
+    fp8 = qm.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2)
+    FP8_MAX = {jnp.dtype(jnp.float8_e4m3fn): 448.0,
+               jnp.dtype(jnp.float8_e5m2): 57344.0}
+    g32 = g2.astype(jnp.float32) * clip_factor
+    if fp8:
+        mu = qm.astype(jnp.float32) * sm
+        nu = qn.astype(jnp.float32) * sn
+    else:
+        mu, nu = qm, qn
+    mu, nu, direction = _adam_math(g32, mu, nu, c1, c2, hp)
+    upd = -lr * (direction + hp.weight_decay * p2.astype(jnp.float32))
+    p_new = _sr_add(p2, upd, key, stochastic)
+    if not fp8:
+        return p_new, mu, sm, nu, sn
+
+    m_max = FP8_MAX[jnp.dtype(qm.dtype)]
+    n_max = FP8_MAX[jnp.dtype(qn.dtype)]
+    if scale_mode == "bound":
+        gmax = jnp.max(jnp.abs(g32), axis=1, keepdims=True)
+        sm2 = hp.betas[0] * sm + (1.0 - hp.betas[0]) * gmax / m_max
+        sn2 = hp.betas[1] * sn + (1.0 - hp.betas[1]) * jnp.square(gmax) / n_max
+    else:  # exact absmax (reduction over the fp32 moments)
+        sm2 = jnp.max(jnp.abs(mu), axis=1, keepdims=True) / m_max
+        sn2 = jnp.max(nu, axis=1, keepdims=True) / n_max
+    sm2 = jnp.maximum(sm2, jnp.finfo(jnp.float32).tiny)
+    sn2 = jnp.maximum(sn2, jnp.finfo(jnp.float32).tiny)
+    qm2 = (mu / sm2).astype(qm.dtype)
+    qn2 = (nu / sn2).astype(qn.dtype)
+    return p_new, qm2, sm2, qn2, sn2
+
+
 def leaf_update(p, g, mu_s, nu_s, *, c1, c2, lr, clip_factor, hp,
                 key, stochastic, block_size, use_pallas=False,
-                pallas_interp=False):
+                pallas_interp=False, scale_mode="bound"):
     """One non-trunk parameter leaf: (p', mu', nu', ss). ss = sum of squared
     RAW gradients (fp32) for the exact global-norm metric; clipping scales g
     by clip_factor before the moments (optax clip-then-adam order)."""
@@ -428,11 +502,17 @@ def leaf_update(p, g, mu_s, nu_s, *, c1, c2, lr, clip_factor, hp,
         flat = jnp.pad(x.reshape(-1), (0, nb * block_size - n))
         return flat.reshape(nb, block_size)
 
+    # chunked lax.map (NOT whole-leaf): these leaves update in the embed
+    # stage where the dataflow graph would happily schedule two dozen
+    # whole-leaf fp32 temporaries concurrently (24 x 137 MB SigLIP leaves
+    # OOM'd batch 24 by 1.3 GB); the serialized chunks bound the peak.
+    # scale_mode="bound" still removes the fp32-moment round trip INSIDE
+    # each chunk.
     p2, qm2, sm2, qn2, sn2 = _chunked_quant_update(
         to_rows(p), to_rows(g), mu_s["q"], mu_s["scale"][:, None],
         nu_s["q"], nu_s["scale"][:, None], c1=c1, c2=c2, lr=lr,
         clip_factor=clip_factor, hp=hp, key=key, stochastic=stochastic,
-        block_size=block_size)
+        block_size=block_size, scale_mode=scale_mode)
     p_new = p2.reshape(-1)[:n].reshape(p.shape).astype(p.dtype)
     return (p_new, {"q": qm2, "scale": sm2[:, 0]},
             {"q": qn2, "scale": sn2[:, 0]}, ss)
@@ -448,7 +528,8 @@ def make_fused_joint_step(cfg, opt: OptimizerConfig, policy=None, *,
                           stochastic_rounding: bool = True,
                           clip_mode: str = "delayed",
                           apply_updates: bool = True,
-                          pallas_mode: str = "auto"):
+                          pallas_mode: str = "auto",
+                          scale_mode: str = "bound"):
     """-> step(FusedTrainState, batch) -> (FusedTrainState, metrics).
 
     jit with donate_argnums=(0,). Batch keys as pi0.compute_loss.
@@ -457,21 +538,31 @@ def make_fused_joint_step(cfg, opt: OptimizerConfig, policy=None, *,
     the full backward still runs (the exact grad_norm pins it live), but no
     optimizer decode/adam/encode and no parameter writes — the full-vs-this
     delta is the per-step optimizer cost.
-    pallas_mode: "auto" (kernel on single-chip TPU, XLA elsewhere), "on",
-    "off", or "interpret" (kernel semantics on CPU, for tests). The Pallas
-    row-update kernel (ops/pallas_adam.py) reads p/g/moments once and
-    writes p'/moments' once, in place — the XLA formulation's pack/unpack
-    round trips cost ~3x that traffic (measured 343 ms vs ~60 ms floor of
-    the 1193 ms batch-24 bridge step). int8-codebook moments always use
-    the XLA path.
+    pallas_mode: "auto" (currently = "off": the tunneled bench environment
+    charges ~2 ms of fixed latency per Mosaic custom call — ~200 calls/step
+    made the Pallas optimizer 721.8 ms where the XLA path ran 343 ms; on
+    untunneled hardware, where custom-call launch is ~µs, "on" is the
+    read-once/write-once optimum), "on", "off", or "interpret" (kernel
+    semantics on CPU, for tests). int8-codebook moments always use the
+    chunked XLA path.
+    scale_mode: fp8 moment re-encode scales — "bound" (analytic decay
+    recurrence, keeps the whole update one elementwise fusion; <= 2x loose
+    worst-case = <= 1 fp8 mantissa bit) or "exact" (row absmax — forces an
+    fp32 moment materialization around the reduction barrier).
     """
     if clip_mode not in ("delayed", "none"):
         raise ValueError(f"clip_mode must be delayed|none, got {clip_mode!r}")
     if pallas_mode not in ("auto", "on", "off", "interpret"):
         raise ValueError(f"bad pallas_mode {pallas_mode!r}")
+    if scale_mode not in ("bound", "exact"):
+        raise ValueError(f"scale_mode must be bound|exact, got {scale_mode!r}")
     if pallas_mode == "auto":
-        use_pallas = (jax.default_backend() == "tpu"
-                      and jax.device_count() == 1)
+        # measured on the tunneled v5e bench chip: each Mosaic custom call
+        # carries ~2 ms fixed latency (flat vs grid size; a 134 MB pallas
+        # copy times the same as an 8-step one), so the ~200-call/step
+        # optimizer ran 721.8 ms vs the XLA path's 343 ms. Default off;
+        # flip to "on" for untunneled production chips.
+        use_pallas = False
         pallas_interp = False
     else:
         use_pallas = pallas_mode in ("on", "interpret")
@@ -615,8 +706,10 @@ def make_fused_joint_step(cfg, opt: OptimizerConfig, policy=None, *,
                          for g in jax.tree_util.tree_leaves(g_row_tree))
                 return stack_tree, mom_mu, mom_nu, ss
 
-            if not (use_pallas and mom_mu["q"].dtype != jnp.int8):
-                # packed XLA formulation (also the int8-codebook path)
+            if mom_mu["q"].dtype == jnp.int8:
+                # packed int8-codebook formulation: searchsorted needs the
+                # chunked lax.map, so a whole layer packs into one row
+                # matrix (the copies are cheap next to the codebook math)
                 g2 = pack.pack(g_row_tree)  # zero-padded rows -> exact ss
                 ss = jnp.sum(jnp.square(g2.astype(jnp.float32)))
                 p_rows = jax.tree.map(lambda a: a[layer], stack_tree)
@@ -636,10 +729,12 @@ def make_fused_joint_step(cfg, opt: OptimizerConfig, policy=None, *,
                           "scale": mom_nu["scale"].at[layer].set(sn[:, 0])}
                 return stack_tree, mom_mu, mom_nu, ss
 
-            # ---- per-leaf Pallas path: every aligned leaf goes through
-            # one in-place single-pass kernel against its static row range
-            # of the packed moments; ragged leaves (norm scales — a few
-            # rows) gather/update/scatter through the XLA chain ----
+            # ---- per-leaf path (fp8/exact moments): every aligned leaf
+            # updates its static row range of the packed moments in one
+            # fused pass — either the in-place Pallas kernel or the XLA
+            # single-fusion formulation (_fused_rows_update; no pack/unpack
+            # copies, no lax.map barrier). Ragged leaves (norm scales — a
+            # few rows) gather/update/scatter through the chunked chain ----
             blk = pack.block
             leaves_p, treedef = jax.tree_util.tree_flatten(stack_tree)
             leaves_g = jax.tree_util.tree_leaves(g_row_tree)
@@ -653,7 +748,7 @@ def make_fused_joint_step(cfg, opt: OptimizerConfig, policy=None, *,
             for i, (p_leaf, g_leaf, n, r, off) in enumerate(zip(
                     leaves_p, leaves_g, pack.sizes, pack.rows,
                     pack.offsets)):
-                if pallas_adam.eligible(n, blk):
+                if use_pallas and pallas_adam.eligible(n, blk):
                     Ld = p_leaf.shape[0]
                     p2, qm, sm, qn, sn, ss = pallas_adam.fused_adam_rows(
                         p_leaf.reshape(Ld, r, blk), g_leaf.reshape(r, blk),
@@ -663,6 +758,37 @@ def make_fused_joint_step(cfg, opt: OptimizerConfig, policy=None, *,
                         stochastic=stochastic_rounding,
                         interpret=pallas_interp)
                     new_p.append(p2.reshape(p_leaf.shape))
+                elif n % blk == 0:
+                    # aligned leaf, XLA: static row range [off, off+r) of
+                    # the moment matrices, dynamic layer index; the whole
+                    # update is one fused elementwise pass
+                    gr = g_leaf.reshape(r, blk)
+                    ss = jnp.sum(jnp.square(gr.astype(jnp.float32)))
+                    qm_r = jax.lax.dynamic_slice(
+                        qm, (layer, off, 0), (1, r, blk))[0]
+                    sm_r = jax.lax.dynamic_slice(
+                        sm, (layer, off), (1, r))[0][:, None]
+                    qn_r = jax.lax.dynamic_slice(
+                        qn, (layer, off, 0), (1, r, blk))[0]
+                    sn_r = jax.lax.dynamic_slice(
+                        sn, (layer, off), (1, r))[0][:, None]
+                    p2n, qm2, sm2, qn2, sn2 = _fused_rows_update(
+                        p_leaf[layer].reshape(r, blk), gr,
+                        qm_r, sm_r, qn_r, sn_r,
+                        key=jax.random.fold_in(key, i), c1=c1, c2=c2,
+                        lr=lr, clip_factor=clip_factor, hp=hp,
+                        stochastic=stochastic_rounding,
+                        scale_mode=scale_mode)
+                    new_p.append(p_leaf.at[layer].set(
+                        p2n.reshape(p_leaf.shape[1:]).astype(p_leaf.dtype)))
+                    qm = jax.lax.dynamic_update_slice(
+                        qm, qm2[None].astype(qm.dtype), (layer, off, 0))
+                    sm = jax.lax.dynamic_update_slice(
+                        sm, sm2[:, 0][None], (layer, off))
+                    qn = jax.lax.dynamic_update_slice(
+                        qn, qn2[None].astype(qn.dtype), (layer, off, 0))
+                    sn = jax.lax.dynamic_update_slice(
+                        sn, sn2[:, 0][None], (layer, off))
                 else:
                     g32 = g_leaf.astype(jnp.float32)
                     ss = jnp.sum(jnp.square(g32))
@@ -724,7 +850,7 @@ def make_fused_joint_step(cfg, opt: OptimizerConfig, policy=None, *,
                 pn, mn, nn, ss = leaf_update(
                     p, g_by[path], m_by[path], n_by[path], key=k,
                     use_pallas=use_pallas, pallas_interp=pallas_interp,
-                    **upd_kw)
+                    scale_mode=scale_mode, **upd_kw)
                 ss_total = ss_total + ss
                 flat_new_p.append(pn)
                 flat_new_m.append(mn)

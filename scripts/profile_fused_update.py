@@ -34,6 +34,12 @@ def main() -> int:
                     help="per-leaf in-place kernel chain (ops/pallas_adam)")
     ap.add_argument("--pallas-leaf", action="store_true",
                     help="ONE kernel call on the biggest mlp leaf per layer")
+    ap.add_argument("--leaf-fused", action="store_true",
+                    help="per-leaf single-fusion XLA path (round-5 default),"
+                         " bound AND exact scale modes")
+    ap.add_argument("--scale-mode", default="exact",
+                    choices=["exact", "bound"],
+                    help="fp8 re-encode scales in the chunked path")
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--tiny", action="store_true")
@@ -157,6 +163,84 @@ def main() -> int:
             params, mu, nu = fresh()
             drain_device_queue((params, mu, nu))
 
+    if args.leaf_fused:
+        # the round-5 default XLA path: per-leaf single-fusion updates
+        # against static moment row ranges (no pack/unpack, no lax.map),
+        # bound or exact re-encode scales
+        for scale_mode in ("bound", "exact"):
+            def all_layers_lf(stack, g, m, n, key, _sm=scale_mode):
+                leaves_tpl, treedef2 = jax.tree_util.tree_flatten(stack)
+
+                def body(layer, carry):
+                    stack, m, n, ss_acc = carry
+                    leaves_p = jax.tree_util.tree_leaves(stack)
+                    leaves_g = jax.tree_util.tree_leaves(g)
+                    qm, sm = m["q"], m["scale"]
+                    qn, sn = n["q"], n["scale"]
+                    new_p = []
+                    for i, (p_leaf, g_leaf) in enumerate(
+                            zip(leaves_p, leaves_g)):
+                        nsz, r, off = (pack.sizes[i], pack.rows[i],
+                                       pack.offsets[i])
+                        if nsz % 2048:
+                            new_p.append(p_leaf)
+                            continue
+                        gr = g_leaf.reshape(r, 2048)
+                        ss_acc = ss_acc + jnp.sum(
+                            jnp.square(gr.astype(jnp.float32)))
+                        qm_r = jax.lax.dynamic_slice(
+                            qm, (layer, off, 0), (1, r, 2048))[0]
+                        sm_r = jax.lax.dynamic_slice(
+                            sm, (layer, off), (1, r))[0][:, None]
+                        qn_r = jax.lax.dynamic_slice(
+                            qn, (layer, off, 0), (1, r, 2048))[0]
+                        sn_r = jax.lax.dynamic_slice(
+                            sn, (layer, off), (1, r))[0][:, None]
+                        p2n, qm2, sm2, qn2, sn2 = fj._fused_rows_update(
+                            p_leaf[layer].reshape(r, 2048), gr,
+                            qm_r, sm_r, qn_r, sn_r,
+                            c1=jnp.float32(0.1), c2=jnp.float32(0.001),
+                            lr=jnp.float32(5e-5),
+                            clip_factor=jnp.float32(1.0), hp=hp,
+                            key=jax.random.fold_in(key, layer * 131 + i),
+                            stochastic=True, scale_mode=_sm)
+                        new_p.append(p_leaf.at[layer].set(
+                            p2n.reshape(p_leaf.shape[1:])
+                            .astype(p_leaf.dtype)))
+                        qm = jax.lax.dynamic_update_slice(
+                            qm, qm2[None].astype(qm.dtype), (layer, off, 0))
+                        sm = jax.lax.dynamic_update_slice(
+                            sm, sm2[:, 0][None], (layer, off))
+                        qn = jax.lax.dynamic_update_slice(
+                            qn, qn2[None].astype(qn.dtype), (layer, off, 0))
+                        sn = jax.lax.dynamic_update_slice(
+                            sn, sn2[:, 0][None], (layer, off))
+                    return (jax.tree_util.tree_unflatten(treedef2, new_p),
+                            {"q": qm, "scale": sm},
+                            {"q": qn, "scale": sn}, ss_acc)
+
+                return jax.lax.fori_loop(
+                    0, L, body, (stack, m, n, jnp.float32(0.0)))
+
+            upd = jax.jit(all_layers_lf, donate_argnums=(0, 2, 3))
+            key = jax.random.key(2)
+            p_, m_, n_ = params, mu, nu
+            p_, m_, n_, ss = upd(p_, g_rows, m_, n_, key)
+            np.asarray(ss)
+            ts = []
+            for _ in range(args.iters):
+                t0 = time.time()
+                p_, m_, n_, ss = upd(p_, g_rows, m_, n_, key)
+                np.asarray(ss)
+                ts.append(time.time() - t0)
+            med = sorted(ts)[len(ts) // 2] / L
+            print(f"# leaf-fused[{scale_mode}]: {med*1e3:7.2f} ms/layer "
+                  f"-> {med*1e3*2*(L-1):6.1f} ms/step for both trunks(approx)",
+                  file=sys.stderr, flush=True)
+            del p_, m_, n_
+            params, mu, nu = fresh()
+            drain_device_queue((params, mu, nu))
+
     for rc in args.rows_chunk:
         rows_chunk = pack.nb if rc == 0 else rc
 
@@ -175,7 +259,8 @@ def main() -> int:
                     c1=0.1, c2=0.001, lr=jnp.float32(5e-5),
                     clip_factor=jnp.float32(1.0), hp=hp,
                     key=jax.random.fold_in(key, layer),
-                    stochastic=True, block_size=2048, rows_chunk=rows_chunk)
+                    stochastic=True, block_size=2048, rows_chunk=rows_chunk,
+                    scale_mode=args.scale_mode)
                 stack = jax.tree.map(
                     lambda a, r: a.at[layer].set(r.astype(a.dtype)),
                     stack, pack.unpack(p2n))
@@ -201,7 +286,7 @@ def main() -> int:
             np.asarray(ss)
             ts.append(time.time() - t0)
         med = sorted(ts)[len(ts) // 2] / L
-        print(f"# rows_chunk={rc:>6}: {med*1e3:7.2f} ms/layer "
+        print(f"# rows_chunk={rc:>6}[{args.scale_mode}]: {med*1e3:7.2f} ms/layer "
               f"-> {med*1e3*2*(L-1):6.1f} ms/step for both trunks(approx)",
               file=sys.stderr, flush=True)
         del p_, m_, n_
