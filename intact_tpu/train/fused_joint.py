@@ -263,14 +263,44 @@ def init_fused_state(params, seed: int, block_size: int = 2048,
 # the chunked decode -> adam -> encode core
 # ---------------------------------------------------------------------------
 
+def _hash_noise_u16(shape, salt_u32):
+    """Uniform 16-bit noise from a murmur-style integer hash of the flat
+    element index — ~6 VPU int ops/elem where threefry costs ~100+
+    (measured ~2.5 ms/layer ≈ 85 ms of the batch-24 bridge step).
+    Stochastic rounding needs unbiased uniform bits uncorrelated with the
+    rounded values, not counter-cryptography; the salt (distinct per step
+    x call site, threefry-derived once per step) decorrelates steps."""
+    r = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+    c = jax.lax.broadcasted_iota(jnp.uint32, shape, len(shape) - 1)
+    h = r * jnp.uint32(shape[-1]) + c + salt_u32 * jnp.uint32(0x9E3779B9)
+    h = h * jnp.uint32(2654435761)
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x45D9F3B)
+    h = h ^ (h >> 16)
+    return h & jnp.uint32(0xFFFF)
+
+
 def _sr_add(p, upd_f32, key, stochastic: bool):
+    """key: a PRNG key (threefry/rbg path) OR a uint32 scalar salt (hash
+    path — see _hash_noise_u16)."""
     exact = p.astype(jnp.float32) + upd_f32
     if p.dtype != jnp.bfloat16 or not stochastic:
         return exact.astype(p.dtype)
     bits = jax.lax.bitcast_convert_type(exact, jnp.uint32)
-    noise = jax.random.randint(key, exact.shape, 0, 1 << 16, dtype=jnp.uint32)
+    if jnp.issubdtype(jnp.asarray(key).dtype, jnp.unsignedinteger):
+        noise = _hash_noise_u16(exact.shape, key)
+    else:
+        noise = jax.random.randint(key, exact.shape, 0, 1 << 16,
+                                   dtype=jnp.uint32)
     rounded = (bits + noise) & jnp.uint32(0xFFFF0000)
     return jax.lax.bitcast_convert_type(rounded, jnp.float32).astype(jnp.bfloat16)
+
+
+def _sr_subkey(key, i):
+    """fold_in for PRNG keys; cheap integer mix for uint32 hash salts."""
+    if jnp.issubdtype(jnp.asarray(key).dtype, jnp.unsignedinteger):
+        return key * jnp.uint32(1000003) + jnp.asarray(i).astype(jnp.uint32)
+    return jax.random.fold_in(key, i)
 
 
 def _adam_math(g, mu, nu, c1, c2, hp):
@@ -347,7 +377,7 @@ def _chunked_quant_update(p2, g2, qm, sm, qn, sn, *, c1, c2, lr, clip_factor,
             mu, nu = qmc, qnc
         mu, nu, direction = _adam_math(gc, mu, nu, c1, c2, hp)
         upd = -lr * (direction + hp.weight_decay * pc.astype(jnp.float32))
-        pc_new = _sr_add(pc, upd, jax.random.fold_in(key, idx), stochastic)
+        pc_new = _sr_add(pc, upd, _sr_subkey(key, idx), stochastic)
         if mode == "exact":
             return pc_new, mu, smc, nu, snc
 
@@ -455,6 +485,44 @@ def _fused_rows_update(p2, g2, qm, sm, qn, sn, *, c1, c2, lr, clip_factor,
     return p_new, qm2, sm2, qn2, sn2
 
 
+def _packed_moment_direction(g2, qm, sm, qn, sn, *, c1, c2, clip_factor,
+                             hp, scale_mode, dir_dtype):
+    """Moments update + Adam direction rows, NO parameter reads/writes.
+
+    The hybrid trunk path ("hybrid" update_impl) runs this once per layer
+    on the packed [NB, block] gradient rows, then applies the p update per
+    leaf against STATIC row slices of the returned direction matrix — so
+    p never takes the pack/unpack concat round trip (2 extra passes), and
+    the only dynamically-indexed arrays are the moment matrices (one
+    slice + one update per tree per layer). Returns
+    (direction[NB, block] in dir_dtype, qm', sm', qn', sn')."""
+    fp8 = qm.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2)
+    FP8_MAX = {jnp.dtype(jnp.float8_e4m3fn): 448.0,
+               jnp.dtype(jnp.float8_e5m2): 57344.0}
+    g32 = g2.astype(jnp.float32) * clip_factor
+    if fp8:
+        mu = qm.astype(jnp.float32) * sm
+        nu = qn.astype(jnp.float32) * sn
+    else:
+        mu, nu = qm, qn
+    mu, nu, direction = _adam_math(g32, mu, nu, c1, c2, hp)
+    if not fp8:
+        return direction.astype(dir_dtype), mu, sm, nu, sn
+    m_max = FP8_MAX[jnp.dtype(qm.dtype)]
+    n_max = FP8_MAX[jnp.dtype(qn.dtype)]
+    if scale_mode == "bound":
+        gmax = jnp.max(jnp.abs(g32), axis=1, keepdims=True)
+        sm2 = hp.betas[0] * sm + (1.0 - hp.betas[0]) * gmax / m_max
+        sn2 = hp.betas[1] * sn + (1.0 - hp.betas[1]) * jnp.square(gmax) / n_max
+    else:
+        sm2 = jnp.max(jnp.abs(mu), axis=1, keepdims=True) / m_max
+        sn2 = jnp.max(nu, axis=1, keepdims=True) / n_max
+    sm2 = jnp.maximum(sm2, jnp.finfo(jnp.float32).tiny)
+    sn2 = jnp.maximum(sn2, jnp.finfo(jnp.float32).tiny)
+    return (direction.astype(dir_dtype), (mu / sm2).astype(qm.dtype), sm2,
+            (nu / sn2).astype(qn.dtype), sn2)
+
+
 def leaf_update(p, g, mu_s, nu_s, *, c1, c2, lr, clip_factor, hp,
                 key, stochastic, block_size, use_pallas=False,
                 pallas_interp=False, scale_mode="bound"):
@@ -529,7 +597,9 @@ def make_fused_joint_step(cfg, opt: OptimizerConfig, policy=None, *,
                           clip_mode: str = "delayed",
                           apply_updates: bool = True,
                           pallas_mode: str = "auto",
-                          scale_mode: str = "bound"):
+                          scale_mode: str = "bound",
+                          update_impl: str = "hybrid",
+                          sr_rng: str = "hash"):
     """-> step(FusedTrainState, batch) -> (FusedTrainState, metrics).
 
     jit with donate_argnums=(0,). Batch keys as pi0.compute_loss.
@@ -556,6 +626,11 @@ def make_fused_joint_step(cfg, opt: OptimizerConfig, policy=None, *,
         raise ValueError(f"bad pallas_mode {pallas_mode!r}")
     if scale_mode not in ("bound", "exact"):
         raise ValueError(f"scale_mode must be bound|exact, got {scale_mode!r}")
+    if update_impl not in ("leaf", "packed", "hybrid"):
+        raise ValueError(
+            f"update_impl must be leaf|packed|hybrid, got {update_impl!r}")
+    if sr_rng not in ("hash", "rbg", "threefry"):
+        raise ValueError(f"sr_rng must be hash|rbg|threefry, got {sr_rng!r}")
     if pallas_mode == "auto":
         # measured on the tunneled v5e bench chip: each Mosaic custom call
         # carries ~2 ms fixed latency (flat vs grid size; a 134 MB pallas
@@ -580,6 +655,23 @@ def make_fused_joint_step(cfg, opt: OptimizerConfig, policy=None, *,
     def step(state: FusedTrainState, batch):
         params, mu, nu = state.params, state.mu, state.nu
         rng, k_flow, k_sr = jax.random.split(state.rng, 3)
+        if stochastic_rounding and sr_rng == "hash":
+            # one threefry draw per STEP seeds a murmur-style index hash
+            # (_hash_noise_u16) for all SR noise: same statistical job,
+            # ~6 int ops/elem instead of threefry's ~100+ inside the hot
+            # per-layer update (threefry SR measured ~2.5 ms/layer ≈ 85 ms
+            # of the batch-24 step)
+            k_sr = jax.random.randint(
+                k_sr, (), 0, jnp.iinfo(jnp.int32).max).astype(jnp.uint32)
+        elif stochastic_rounding and sr_rng == "rbg":
+            # MEASURED WORSE on v5e, kept only as an ablation knob: the
+            # opaque RngBitGenerator HLO materializes the full noise
+            # tensor and breaks the update fusion (optimizer phase 295.5
+            # -> 609.7 ms at batch 24), while threefry's elementwise chain
+            # fuses into the consumer at ~2.5 ms/layer.
+            k_sr = jax.random.key(
+                jax.random.randint(k_sr, (), 0, jnp.iinfo(jnp.int32).max),
+                impl="rbg")
         count = state.count + 1
         cf = count.astype(jnp.float32)
         c1 = 1.0 - opt.betas[0] ** cf
@@ -706,19 +798,74 @@ def make_fused_joint_step(cfg, opt: OptimizerConfig, policy=None, *,
                          for g in jax.tree_util.tree_leaves(g_row_tree))
                 return stack_tree, mom_mu, mom_nu, ss
 
-            if mom_mu["q"].dtype == jnp.int8:
-                # packed int8-codebook formulation: searchsorted needs the
-                # chunked lax.map, so a whole layer packs into one row
-                # matrix (the copies are cheap next to the codebook math)
+            if mom_mu["q"].dtype != jnp.int8 and update_impl == "hybrid":
+                # hybrid formulation: moments + direction on the packed
+                # rows (one dynamic slice + one dynamic update per tree),
+                # then the p update per LEAF against STATIC row slices of
+                # the direction matrix — p skips the pack/unpack concats
+                # entirely (the per-leaf p slice/scatter pattern alone
+                # measured at the traffic floor).
+                g2 = pack.pack(g_row_tree)  # zero-padded rows -> exact ss
+                ss = jnp.sum(jnp.square(g2.astype(jnp.float32)))
+                leaves_p, treedef = jax.tree_util.tree_flatten(stack_tree)
+                dir_dtype = (jnp.bfloat16 if all(
+                    l.dtype == jnp.bfloat16 for l in leaves_p)
+                    else jnp.float32)
+                dir2, qm, sm, qn, sn = _packed_moment_direction(
+                    g2, mom_mu["q"][layer],
+                    mom_mu["scale"][layer][:, None],
+                    mom_nu["q"][layer], mom_nu["scale"][layer][:, None],
+                    c1=c1, c2=c2, clip_factor=clip_factor, hp=hp,
+                    scale_mode=scale_mode, dir_dtype=dir_dtype)
+                new_p = []
+                for i, (p_leaf, n, r, off, shape) in enumerate(zip(
+                        leaves_p, pack.sizes, pack.rows, pack.offsets,
+                        pack.shapes)):
+                    dr = jax.lax.slice(
+                        dir2, (off, 0), (off + r, pack.block))
+                    dr = dr.reshape(-1)[:n].reshape(shape)
+                    pl = p_leaf[layer]
+                    upd = -lr * (dr.astype(jnp.float32)
+                                 + hp.weight_decay * pl.astype(jnp.float32))
+                    pl2 = _sr_add(pl, upd, _sr_subkey(key, 7000 + i),
+                                  stochastic_rounding)
+                    new_p.append(p_leaf.at[layer].set(
+                        pl2.astype(p_leaf.dtype)))
+                stack_tree = jax.tree_util.tree_unflatten(treedef, new_p)
+                mom_mu = {"q": mom_mu["q"].at[layer].set(qm),
+                          "scale": mom_mu["scale"].at[layer].set(sm[:, 0])}
+                mom_nu = {"q": mom_nu["q"].at[layer].set(qn),
+                          "scale": mom_nu["scale"].at[layer].set(sn[:, 0])}
+                return stack_tree, mom_mu, mom_nu, ss
+
+            if mom_mu["q"].dtype == jnp.int8 or update_impl == "packed":
+                # packed formulation: a whole layer packs into ONE row
+                # matrix so moments are touched by exactly one dynamic
+                # slice + one dynamic update per tree per layer. The
+                # pack/unpack concats cost 2 extra passes over p and g, but
+                # avoid the per-leaf dynamic-slice/scatter chains whose
+                # traced `layer` offsets defeat XLA's alias analysis (the
+                # per-leaf path measured ~13 ms/layer against the pure
+                # elementwise fusion's 2.6 ms at 455 GB/s).
                 g2 = pack.pack(g_row_tree)  # zero-padded rows -> exact ss
                 ss = jnp.sum(jnp.square(g2.astype(jnp.float32)))
                 p_rows = jax.tree.map(lambda a: a[layer], stack_tree)
                 p2 = pack.pack(p_rows)
-                p2n, qm, sm, qn, sn = _chunked_quant_update(
-                    p2, g2, mom_mu["q"][layer],
-                    mom_mu["scale"][layer][:, None],
-                    mom_nu["q"][layer], mom_nu["scale"][layer][:, None],
-                    key=key, **upd_kw)
+                if mom_mu["q"].dtype == jnp.int8:
+                    # int8 codebook: searchsorted needs the chunked lax.map
+                    p2n, qm, sm, qn, sn = _chunked_quant_update(
+                        p2, g2, mom_mu["q"][layer],
+                        mom_mu["scale"][layer][:, None],
+                        mom_nu["q"][layer], mom_nu["scale"][layer][:, None],
+                        key=key, **upd_kw)
+                else:
+                    fkw = {k: v for k, v in upd_kw.items()
+                           if k != "block_size"}
+                    p2n, qm, sm, qn, sn = _fused_rows_update(
+                        p2, g2, mom_mu["q"][layer],
+                        mom_mu["scale"][layer][:, None],
+                        mom_nu["q"][layer], mom_nu["scale"][layer][:, None],
+                        key=key, scale_mode=scale_mode, **fkw)
                 new_rows = pack.unpack(p2n)
                 stack_tree = jax.tree.map(
                     lambda a, r: a.at[layer].set(r.astype(a.dtype)),
@@ -775,7 +922,7 @@ def make_fused_joint_step(cfg, opt: OptimizerConfig, policy=None, *,
                     p2n, qm2, sm2, qn2, sn2 = _fused_rows_update(
                         p_leaf[layer].reshape(r, blk), gr,
                         qm_r, sm_r, qn_r, sn_r,
-                        key=jax.random.fold_in(key, i), c1=c1, c2=c2,
+                        key=_sr_subkey(key, i), c1=c1, c2=c2,
                         lr=lr, clip_factor=clip_factor, hp=hp,
                         stochastic=stochastic_rounding,
                         scale_mode=scale_mode)
@@ -811,7 +958,8 @@ def make_fused_joint_step(cfg, opt: OptimizerConfig, policy=None, *,
                         rows_of(p_leaf[layer], p_leaf.dtype),
                         rows_of(g_leaf, g_leaf.dtype),
                         qm_r, sm_r, qn_r, sn_r,
-                        key=jax.random.fold_in(key, i), **upd_kw)
+                        key=_sr_subkey(key, i),
+                        scale_mode=scale_mode, **upd_kw)
                     new_rows = p2n.reshape(-1)[:n].reshape(p_nat.shape)
                     new_p.append(p_leaf.at[layer].set(
                         new_rows.astype(p_leaf.dtype)))
@@ -846,7 +994,7 @@ def make_fused_joint_step(cfg, opt: OptimizerConfig, policy=None, *,
                     flat_new_m.append(m_by[path])
                     flat_new_n.append(n_by[path])
                     continue
-                k = jax.random.fold_in(base_key, i)
+                k = _sr_subkey(base_key, i)
                 pn, mn, nn, ss = leaf_update(
                     p, g_by[path], m_by[path], n_by[path], key=k,
                     use_pallas=use_pallas, pallas_interp=pallas_interp,
@@ -867,12 +1015,12 @@ def make_fused_joint_step(cfg, opt: OptimizerConfig, policy=None, *,
         new_vb, mu_vb, nu_vb, ss = trunk_row_update(
             pack_v, vlm_blocks0, d_head["last_v"],
             mu["vlm"]["blocks"], nu["vlm"]["blocks"], L - 1,
-            jax.random.fold_in(k_sr, 1001))
+            _sr_subkey(k_sr, 1001))
         ss_total = ss_total + ss
         new_eb, mu_eb, nu_eb, ss = trunk_row_update(
             pack_e, exp_blocks0, d_head["last_e"],
             mu["expert"]["blocks"], nu["expert"]["blocks"], L - 1,
-            jax.random.fold_in(k_sr, 1002))
+            _sr_subkey(k_sr, 1002))
         ss_total = ss_total + ss
 
         fn_new, fn_mu, fn_nu = update_small_tree(
@@ -884,7 +1032,7 @@ def make_fused_joint_step(cfg, opt: OptimizerConfig, policy=None, *,
              "out_proj": mu["action_out_proj"]},
             {"final_norm": nu["expert"]["final_norm"],
              "out_proj": nu["action_out_proj"]},
-            jax.random.fold_in(k_sr, 1003))
+            _sr_subkey(k_sr, 1003))
 
         # ---- stage 5: reverse scan over layers L-2..0 with in-place
         # per-layer updates ----
@@ -899,7 +1047,13 @@ def make_fused_joint_step(cfg, opt: OptimizerConfig, policy=None, *,
             bp_e = jax.tree.map(lambda a: a[layer], eb)
             _, vjp_l = jax.vjp(layer_fwd, bp_v, bp_e, layer_in)
             g_v, g_e, (dxp_new, dxs_new) = vjp_l((dxp_, dxs_))
-            key, k_v, k_e = jax.random.split(key, 3)
+            if jnp.issubdtype(jnp.asarray(key).dtype,
+                                 jnp.unsignedinteger):
+                k_v = _sr_subkey(key, 1)
+                k_e = _sr_subkey(key, 2)
+                key = _sr_subkey(key, 3)
+            else:
+                key, k_v, k_e = jax.random.split(key, 3)
             vb, m_vb, n_vb, ss1 = trunk_row_update(
                 pack_v, vb, g_v, m_vb, n_vb, layer, k_v)
             eb, m_eb, n_eb, ss2 = trunk_row_update(
@@ -908,7 +1062,7 @@ def make_fused_joint_step(cfg, opt: OptimizerConfig, policy=None, *,
                     ss_c + ss1 + ss2, key), None
 
         carry0 = (dxp, dxs, new_vb, new_eb, mu_vb, nu_vb, mu_eb, nu_eb,
-                  ss_total, jax.random.fold_in(k_sr, 2000))
+                  ss_total, _sr_subkey(k_sr, 2000))
         (dxp, dxs, new_vb, new_eb, mu_vb, nu_vb, mu_eb, nu_eb,
          ss_total, _), _ = jax.lax.scan(
             bwd_body, carry0,
@@ -920,7 +1074,7 @@ def make_fused_joint_step(cfg, opt: OptimizerConfig, policy=None, *,
             embed_p, d_embed,
             {k: mu[k] for k in embed_names},
             {k: nu[k] for k in embed_names},
-            jax.random.fold_in(k_sr, 3000))
+            _sr_subkey(k_sr, 3000))
 
         # ---- assemble new state ----
         new_params = dict(params)

@@ -40,6 +40,8 @@ def main() -> int:
     ap.add_argument("--scale-mode", default="exact",
                     choices=["exact", "bound"],
                     help="fp8 re-encode scales in the chunked path")
+    ap.add_argument("--no-sr", action="store_true",
+                    help="disable stochastic rounding (isolates threefry cost)")
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--tiny", action="store_true")
@@ -259,8 +261,8 @@ def main() -> int:
                     c1=0.1, c2=0.001, lr=jnp.float32(5e-5),
                     clip_factor=jnp.float32(1.0), hp=hp,
                     key=jax.random.fold_in(key, layer),
-                    stochastic=True, block_size=2048, rows_chunk=rows_chunk,
-                    scale_mode=args.scale_mode)
+                    stochastic=not args.no_sr, block_size=2048,
+                    rows_chunk=rows_chunk, scale_mode=args.scale_mode)
                 stack = jax.tree.map(
                     lambda a, r: a.at[layer].set(r.astype(a.dtype)),
                     stack, pack.unpack(p2n))

@@ -66,7 +66,12 @@ def main() -> int:
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--no-sr", action="store_true",
                     help="also measure full step without stochastic rounding")
+    ap.add_argument("--update-impl", default="leaf",
+                    choices=["leaf", "packed", "hybrid"])
+    ap.add_argument("--scale-mode", default="bound",
+                    choices=["bound", "exact"])
     args = ap.parse_args()
+    impl_kw = dict(update_impl=args.update_impl, scale_mode=args.scale_mode)
 
     import jax
 
@@ -169,14 +174,15 @@ def main() -> int:
     state = jax.jit(lambda p: init_fused_state(p, seed=0),
                     donate_argnums=(0,))(params)
     step_nograd = jax.jit(
-        make_fused_joint_step(cfg, opt, policy, apply_updates=False),
+        make_fused_joint_step(cfg, opt, policy, apply_updates=False,
+                              **impl_kw),
         donate_argnums=(0,))
     t_bwd, (state, m) = timed_step(step_nograd, state, batch)
     results["bwd"] = t_bwd
     report("bwd")
 
     # ---- full: the real fused step ----
-    step_full = jax.jit(make_fused_joint_step(cfg, opt, policy),
+    step_full = jax.jit(make_fused_joint_step(cfg, opt, policy, **impl_kw),
                         donate_argnums=(0,))
     t_full, (state, m) = timed_step(step_full, state, batch)
     results["full"] = t_full
@@ -185,7 +191,7 @@ def main() -> int:
     if args.no_sr:
         step_nosr = jax.jit(
             make_fused_joint_step(cfg, opt, policy,
-                                  stochastic_rounding=False),
+                                  stochastic_rounding=False, **impl_kw),
             donate_argnums=(0,))
         try:
             t_nosr, (state, m) = timed_step(step_nosr, state, batch)

@@ -382,3 +382,62 @@ class TestDelayedClipTrajectory:
         assert gap_fused[-1] < 0.06, gap_fused[-1]
         # both actually trained (smoothed loss moved down vs start)
         assert f_s[-1] < f_s[0] and s_s[-1] < s_s[0]
+
+
+class TestHashSR:
+    """The hash-based stochastic-rounding noise (fused_joint._hash_noise_u16)
+    replaces threefry in the hot per-layer update (~6 int ops/elem vs
+    ~100+; threefry SR measured ~2.5 ms/layer on the bridge step). SR only
+    needs unbiased uniform bits uncorrelated with the data — pin exactly
+    that."""
+
+    def test_noise_uniform_and_salt_decorrelated(self):
+        from intact_tpu.train.fused_joint import _hash_noise_u16
+
+        n1 = np.asarray(_hash_noise_u16((256, 512), jnp.uint32(12345)))
+        n2 = np.asarray(_hash_noise_u16((256, 512), jnp.uint32(54321)))
+        for n in (n1, n2):
+            assert n.min() >= 0 and n.max() < (1 << 16)
+            # uniform mean 32767.5, std 18918; mean of 131k samples has
+            # se ~52 — allow 6 sigma
+            assert abs(n.mean() - 32767.5) < 320, n.mean()
+            # every one of 16 coarse buckets populated within 5%
+            hist, _ = np.histogram(n, bins=16, range=(0, 1 << 16))
+            assert np.all(np.abs(hist / n.size - 1 / 16) < 0.05 / 16 + 5e-3)
+        # distinct salts decorrelate
+        a = (n1.astype(np.float64) - 32767.5).ravel()
+        b = (n2.astype(np.float64) - 32767.5).ravel()
+        corr = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(corr) < 0.02, corr
+
+    def test_sr_add_unbiased_over_salts(self):
+        from intact_tpu.train.fused_joint import _sr_add
+
+        p = jnp.full((4, 256), 1.0, jnp.bfloat16)
+        upd = jnp.full((4, 256), 3e-4, jnp.float32)  # sub-bf16-ulp at 1.0
+        acc = np.zeros((4, 256), np.float64)
+        n = 64
+        for s in range(n):
+            acc += np.asarray(
+                _sr_add(p, upd, jnp.uint32(1000 + s), True), np.float64)
+        mean = acc / n
+        exact = 1.0 + 3e-4
+        # per-element SR is Bernoulli between the two bf16 neighbors
+        # (1.0, 1.0078); the mean over 64 salts must bracket the exact
+        # value far better than deterministic rounding (which would sit
+        # at 1.0 exactly: a 3e-4 bias)
+        err = abs(mean.mean() - exact)
+        assert err < 1.2e-4, (mean.mean(), exact)
+
+    def test_hash_sr_step_trains(self, cfg):
+        params = pi0.init(jax.random.key(0), cfg)
+        step = jax.jit(make_fused_joint_step(
+            cfg, OPT, FP32, min_quant_elems=1 << 30,
+            stochastic_rounding=True, sr_rng="hash"))
+        state = init_fused_state(params, seed=7, min_quant_elems=1 << 30)
+        batch = _batch(cfg)
+        losses = []
+        for _ in range(4):
+            state, m = step(state, batch)
+            losses.append(float(m["l2_loss"]))
+        assert losses[-1] < losses[0]
